@@ -1,0 +1,61 @@
+"""Run configuration.
+
+Mirrors the reference's ``BELLApars`` struct (include/common/common.h:46-74)
+and the CLI flag set (src/main.cpp:74-94), plus TPU-specific knobs
+(capacities, band width, batch sizes) that replace the reference's
+free-RAM probing (include/overlap.hpp:365-404).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass
+class BellaConfig:
+    # --- reference BELLApars (include/common/common.h:46-74) ---
+    kmer_size: int = 17            # -k
+    bin_size: int = 500            # -b  chaining bin width
+    fixed_threshold: int = -1      # debug-only fixed alignment score cutoff
+    xdrop: int = 7                 # -x
+    split_count: int = 1           # --split-count  k-mer-space passes
+    estimate_err: bool = False     # --estimate  (error rate from quals)
+    skip_alignment: bool = False   # --skip-alignment  overlap-only output
+    output_paf: bool = False       # --paf
+    use_hopc: bool = False         # --hopc homopolymer-compressed k-mers
+    delta_chernoff: float = 0.10   # --score-deviation
+    total_memory_mb: float = 8000.0  # -m  staging budget
+    error_rate: float = 0.15       # -e
+    hopc_error_rate: float = 0.035 # error rate used when use_hopc is on
+    use_syncmer: bool = False      # -s
+    use_minimizer: bool = False    # set when window_len > 0
+    window_len: int = 0            # -w  minimizer window
+    lower_freq: int = 2            # -l  reliable k-mer lower bound
+    upper_freq: int = 8            # -u  reliable k-mer upper bound
+    smer_len: int = 5              # syncmer s-mer length (include/syncmer.hpp:47)
+
+    # --- TPU-native knobs (no reference equivalent; replace RAM probing) ---
+    band_width: int = 128          # x-drop aligner band (lanes); ref uses 31
+                                   # (xavier/simdutils.h:22-31); 128 = VPU lane dim
+    align_batch: int = 4096        # alignment pairs per device batch
+                                   # (ref: 30000/GPU, include/align.hpp:35)
+    max_shared_kmers: int = 256    # cap on shared k-mers folded per read pair
+                                   # (ref is unbounded vectors; overflow is counted)
+    max_steps: Optional[int] = None  # wavefront step cap; None = len-derived
+    seed: int = 0                  # PRNG seed for synthetic generators
+
+    def __post_init__(self):
+        if self.kmer_size < 1 or self.kmer_size > 32:
+            raise ValueError("kmer_size must be in [1, 32] (2-bit packed uint64)")
+        if self.window_len:
+            self.use_minimizer = True
+        if self.use_syncmer:
+            self.use_minimizer = False
+        if not (0.0 <= self.delta_chernoff <= 1.0):
+            raise ValueError("delta_chernoff must be in [0, 1]")
+
+    @property
+    def effective_error_rate(self) -> float:
+        """Error rate driving the adaptive threshold (src/main.cpp:307-314)."""
+        return self.hopc_error_rate if self.use_hopc else self.error_rate

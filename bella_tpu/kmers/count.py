@@ -1,0 +1,197 @@
+"""Sort-based exact k-mer counting and reliable-matrix construction.
+
+TPU-first replacement for the reference counting stack
+(include/kmercount.hpp: SplitCount/DeNovoCount/SimpleCount + libcuckoo +
+libbloom + HyperLogLog). Rationale: on TPU, a radix/bitonic sort over
+packed uint64 canonical k-mers followed by segment reductions is exact,
+needs no HLL sizing, makes singleton elimination free, and fuses counting
+with matrix construction — the reference's second FASTQ pass
+(src/main.cpp:339-423) disappears because occurrence positions ride along
+through the sort.
+
+Memory is bounded the same way the reference bounds it: `split_count`
+k-mer-space passes keyed by hash (include/kmercount.hpp:478-534), with
+dense reliable ids accumulated across passes (:655-657).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bella_tpu.config import BellaConfig
+from bella_tpu.io.fastq import ReadSet
+from bella_tpu.seq.encode import canonical_kmers, hash64, hopc_kmers, pack_kmers
+
+_U64 = jnp.uint64
+SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+@dataclasses.dataclass
+class KmerOccurrences:
+    """Flat occurrence stream: one row per (k-mer, read, position).
+
+    kmers: (N,) uint64 canonical packed k-mers (SENTINEL for padding)
+    read_ids: (N,) int32
+    positions: (N,) int32 -- k-mer start within its read
+    is_rc: (N,) bool -- canonical == revcomp of the forward k-mer at
+        this position (drives strand logic downstream, chain.hpp:36-44)
+    """
+
+    kmers: jnp.ndarray
+    read_ids: jnp.ndarray
+    positions: jnp.ndarray
+    is_rc: jnp.ndarray
+
+    @property
+    def size(self) -> int:
+        return int(self.kmers.shape[0])
+
+
+def extract_occurrences(reads: ReadSet, config: BellaConfig) -> KmerOccurrences:
+    """All valid k-mer occurrences of a read set (k-mers spanning a read
+    boundary in the concatenated layout are masked to SENTINEL)."""
+    k = config.kmer_size
+    codes = jnp.asarray(reads.codes)
+    total = int(codes.shape[0])
+    n = total - k + 1
+    if n <= 0:
+        z = jnp.zeros((0,), jnp.int32)
+        return KmerOccurrences(jnp.zeros((0,), _U64), z, z, jnp.zeros((0,), bool))
+
+    rid_per_base = np.repeat(
+        np.arange(reads.num_reads, dtype=np.int32), reads.lengths
+    )
+    rid = jnp.asarray(rid_per_base[:n])
+    rid_end = jnp.asarray(rid_per_base[k - 1 :])
+    valid = rid == rid_end
+    pos = jnp.arange(n, dtype=jnp.int32) - jnp.asarray(
+        reads.offsets[:-1].astype(np.int32)
+    )[rid]
+
+    if config.use_hopc:
+        canon, _hopc_len = hopc_kmers(codes, k)
+        is_rc = jnp.zeros((n,), bool)  # strand handled by seed compare downstream
+    else:
+        packed = pack_kmers(codes, k)
+        canon, is_rc = canonical_kmers(packed, k)
+    canon = jnp.where(valid, canon, jnp.asarray(SENTINEL))
+    return KmerOccurrences(canon, rid, pos, is_rc & valid)
+
+
+@dataclasses.dataclass
+class ReliableTriples:
+    """The reads-by-reliable-kmers matrix A in k-mer-major (CSC-of-A)
+    order -- the layout pair generation consumes directly. Replaces the
+    CSC build + transpose of src/main.cpp:476-491.
+
+    All arrays sorted by (kmer_id); padding rows have kmer_id == -1.
+    """
+
+    kmer_ids: np.ndarray   # (M,) int32 dense reliable-kmer ids
+    read_ids: np.ndarray   # (M,) int32
+    positions: np.ndarray  # (M,) int32
+    is_rc: np.ndarray      # (M,) bool
+    num_kmers: int         # number of distinct reliable k-mers
+    num_reads: int
+
+    @property
+    def nnz(self) -> int:
+        return int(self.kmer_ids.shape[0])
+
+
+@partial(jax.jit, static_argnames=("lower", "upper"))
+def _count_and_filter(kmers, read_ids, positions, is_rc, lower: int, upper: int):
+    """Sort occurrences by k-mer; mark occurrences of k-mers whose
+    multiplicity lies in [lower, upper]; assign dense ids by segment.
+
+    Returns (sorted fields..., counts, dense_id, reliable_mask, boundary).
+    """
+    n = kmers.shape[0]
+    order = jnp.argsort(kmers)
+    sk = kmers[order]
+    sr = read_ids[order]
+    sp = positions[order]
+    sc = is_rc[order]
+
+    idx = jnp.arange(n, dtype=jnp.int64)
+    boundary = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]])
+    # run start/end via prefix scans
+    start = jax.lax.associative_scan(jnp.maximum, jnp.where(boundary, idx, 0))
+    is_last = jnp.concatenate([sk[1:] != sk[:-1], jnp.ones((1,), bool)])
+    end_rev = jax.lax.associative_scan(
+        jnp.minimum, jnp.where(is_last, idx, n - 1)[::-1]
+    )[::-1]
+    counts = (end_rev - start + 1).astype(jnp.int32)
+
+    reliable = (counts >= lower) & (counts <= upper) & (sk != jnp.asarray(SENTINEL))
+    new_rel_seg = boundary & reliable
+    dense_id = (jnp.cumsum(new_rel_seg.astype(jnp.int64)) - 1).astype(jnp.int32)
+    return sk, sr, sp, sc, counts, dense_id, reliable, boundary
+
+
+def count_kmers(
+    occ: KmerOccurrences, lower: int = 1, upper: int = 2**31 - 1
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Standalone exact counter: (unique_kmers, counts) with counts in
+    [lower, upper]. API parity with the reference counters' observable
+    output (the reliable dictionary's keyed multiplicities)."""
+    if occ.size == 0:
+        return np.zeros(0, np.uint64), np.zeros(0, np.int32)
+    sk, _, _, _, counts, _, reliable, boundary = _count_and_filter(
+        occ.kmers, occ.read_ids, occ.positions, occ.is_rc, lower, upper
+    )
+    head = np.asarray(boundary & reliable)
+    return np.asarray(sk)[head], np.asarray(counts)[head]
+
+
+def build_reliable_triples(
+    reads: ReadSet,
+    config: BellaConfig,
+    occ: Optional[KmerOccurrences] = None,
+) -> ReliableTriples:
+    """Fused counting + matrix build, with split-count staging.
+
+    Each pass keeps k-mers with hash64(kmer) % split_count == pass
+    (the k-mer-space partitioning of include/kmercount.hpp:478-534),
+    counts them exactly, filters to [lower_freq, upper_freq], and emits
+    triples with dense ids offset by the k-mers of earlier passes.
+    """
+    if occ is None:
+        occ = extract_occurrences(reads, config)
+    s = config.split_count
+    parts = []
+    id_base = 0
+    for p in range(s):
+        if s > 1:
+            keep = (hash64(occ.kmers) % _U64(s)) == _U64(p)
+            kmers = jnp.where(keep, occ.kmers, jnp.asarray(SENTINEL))
+        else:
+            kmers = occ.kmers
+        sk, sr, sp, sc, _counts, dense_id, reliable, _b = _count_and_filter(
+            kmers, occ.read_ids, occ.positions, occ.is_rc,
+            config.lower_freq, config.upper_freq,
+        )
+        rel = np.asarray(reliable)
+        kid = np.asarray(dense_id)[rel] + id_base
+        parts.append(
+            (
+                kid.astype(np.int32),
+                np.asarray(sr)[rel],
+                np.asarray(sp)[rel],
+                np.asarray(sc)[rel],
+            )
+        )
+        id_base += int(kid[-1]) + 1 - id_base if kid.size else 0
+    kmer_ids = np.concatenate([p[0] for p in parts]) if parts else np.zeros(0, np.int32)
+    read_ids = np.concatenate([p[1] for p in parts]) if parts else np.zeros(0, np.int32)
+    positions = np.concatenate([p[2] for p in parts]) if parts else np.zeros(0, np.int32)
+    is_rc = np.concatenate([p[3] for p in parts]) if parts else np.zeros(0, bool)
+    return ReliableTriples(
+        kmer_ids, read_ids, positions, is_rc, id_base, reads.num_reads
+    )
