@@ -1,0 +1,345 @@
+"""Batched banded x-drop seed-and-extend alignment.
+
+TPU-native replacement for both Xavier (xavier/xavier.h — AVX2, one
+alignment per core, 31-wide int8 band) and LOGAN (loganGPU/functions.cuh
+— CUDA, one alignment per thread block). Here ONE kernel advances a
+whole batch of alignments in lockstep: state is three antidiagonals of
+width `band_width` per pair, shape (batch, band), advanced by a
+while_loop — the VPU lanes are the band, the batch is the sublane axis.
+
+Differences from the reference (documented deviations):
+  * int32 scores — no int8 renormalisation dance (xavier/xavier.h:152-158),
+  * band 128 wide by default (vs 31): strictly more accurate,
+  * alignment end = argmax DP cell rather than the band offset at
+    termination (xavier/xavier.h:175-176 uses hoffset/voffset): tighter
+    coordinates, same scores,
+  * short prefixes/suffixes are still aligned (the reference skips
+    extensions shorter than its vector width, xavier/xavier.h:300,338 —
+    a SIMD artifact, not a semantic).
+
+Scoring matches the reference defaults: match +1, mismatch -1, gap -1
+(include/align.hpp:159-164); termination when the current antidiagonal
+max drops more than `xdrop` below the best (xavier/xavier.h:138-150).
+
+DP formulation: D[i][j] over target T (the "H"/row read, possibly
+reverse-complemented) and query Q (the "V"/column read). Antidiagonal
+d holds cells (i = lo+p, j = d-lo-p) for p in [0, band); the band
+offset `lo` advances toward the current argmax (adaptive banding as in
+xavier/simdutils.h moveRight/moveDown).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NINF = jnp.int32(-(1 << 20))
+PAD_CHAR = jnp.int8(127)  # never equals a 2-bit base code
+
+
+def _shift(a, s: int, fill):
+    """Shift along the last axis: out[p] = a[p+s] (s in {-1, 0, 1})."""
+    if s == 0:
+        return a
+    if s == 1:
+        return jnp.concatenate([a[:, 1:], jnp.full_like(a[:, :1], fill)], axis=1)
+    return jnp.concatenate([jnp.full_like(a[:, :1], fill), a[:, :-1]], axis=1)
+
+
+@partial(jax.jit, static_argnames=("band", "max_steps", "match", "mismatch", "gap"))
+def extend_batch(
+    T, t_len, Q, q_len, xdrop,
+    band: int = 128,
+    max_steps: int = 0,
+    match: int = 1,
+    mismatch: int = -1,
+    gap: int = -1,
+):
+    """One-direction x-drop extension for a batch of sequence pairs.
+
+    T, Q: (B, L) int8 code arrays (values 0..3, padding arbitrary)
+    t_len, q_len: (B,) int32 valid lengths
+    xdrop: scalar int
+    Returns dict(score, t_end, q_end): best score and its DP cell (the
+    number of target/query chars consumed by the best extension).
+    """
+    B, L = T.shape
+    W = band
+    if max_steps <= 0:
+        max_steps = 2 * L
+    t_len = t_len.astype(jnp.int32)
+    q_len = q_len.astype(jnp.int32)
+
+    p_idx = jnp.arange(W, dtype=jnp.int32)[None, :]  # (1, W)
+
+    # diag d=0: D[0][0]=0; d=1: a[0]=D[0][1], a[1]=D[1][0] (gap cells,
+    # NINF when the corresponding sequence is empty)
+    a1 = jnp.full((B, W), NINF, dtype=jnp.int32).at[:, 0].set(0)  # diag d-2
+    a2 = jnp.full((B, W), NINF, dtype=jnp.int32)                  # diag d-1
+    a2 = a2.at[:, 0].set(jnp.where(q_len >= 1, jnp.int32(gap), NINF))
+    a2 = a2.at[:, 1].set(jnp.where(t_len >= 1, jnp.int32(gap), NINF))
+
+    # char windows for diag d: Twin[p] = T[lo+p-1], Qwin[p] = Q[d-lo-p-1]
+    gather_t = jnp.clip(p_idx - 1, 0, L - 1)
+    twin = jnp.where(p_idx >= 1, jnp.take_along_axis(T, gather_t, axis=1), PAD_CHAR)
+    gather_q = jnp.clip(1 - p_idx, 0, L - 1)
+    qwin = jnp.where(p_idx <= 1, jnp.take_along_axis(Q, gather_q, axis=1), PAD_CHAR)
+
+    lo = jnp.zeros((B,), jnp.int32)
+    dlt1 = jnp.zeros((B,), jnp.int32)  # lo(d-1) - lo(d-2)
+    best = jnp.zeros((B,), jnp.int32)
+    best_t = jnp.zeros((B,), jnp.int32)  # i of best cell
+    best_q = jnp.zeros((B,), jnp.int32)  # j of best cell
+    alive = (t_len + q_len) > 0
+    d = jnp.full((B,), 2, jnp.int32)
+
+    xdrop = jnp.int32(xdrop)
+
+    def cond(state):
+        return state["alive"].any() & (state["step"] < max_steps)
+
+    def body(state):
+        a1, a2 = state["a1"], state["a2"]
+        lo, dlt1, d = state["lo"], state["dlt1"], state["d"]
+        twin, qwin = state["twin"], state["qwin"]
+        best, best_t, best_q = state["best"], state["best_t"], state["best_q"]
+        alive = state["alive"]
+
+        # --- compute diag d (dlt2 = lo(d)-lo(d-1) was applied when lo
+        # was updated last step, encoded in the shifts chosen below) ---
+        # We keep the convention: shifts already account for the move
+        # performed at the end of the previous iteration via dlt2 state.
+        dlt2 = state["dlt2"]
+
+        sub = jnp.where(twin == qwin, jnp.int32(match), jnp.int32(mismatch))
+        # predecessors (see module docstring):
+        #   diag:  a1[p - 1 + dlt2 + dlt1] + sub
+        #   gapQ:  a2[p - 1 + dlt2] + gap   (consume target)
+        #   gapT:  a2[p + dlt2] + gap       (consume query)
+        shift_d = dlt2 + dlt1 - 1  # in {-1, 0, 1}
+        diag_m1 = _shift(a1, -1, NINF)
+        diag_0 = a1
+        diag_p1 = _shift(a1, 1, NINF)
+        diag_pred = jnp.where(
+            (shift_d == -1)[:, None], diag_m1,
+            jnp.where((shift_d == 0)[:, None], diag_0, diag_p1),
+        )
+        gq_pred = jnp.where((dlt2 == 1)[:, None], a2, _shift(a2, -1, NINF))
+        gt_pred = jnp.where((dlt2 == 1)[:, None], _shift(a2, 1, NINF), a2)
+
+        a3 = jnp.maximum(
+            diag_pred + sub,
+            jnp.maximum(gq_pred, gt_pred) + jnp.int32(gap),
+        )
+        # mask cells outside the DP matrix
+        i = lo[:, None] + p_idx
+        j = d[:, None] - i
+        valid = (i >= 0) & (i <= t_len[:, None]) & (j >= 0) & (j <= q_len[:, None])
+        a3 = jnp.where(valid, a3, NINF)
+        a3 = jnp.maximum(a3, NINF)  # clamp gap chains from NINF
+
+        cur = a3.max(axis=1)
+        argp = jnp.argmax(a3, axis=1).astype(jnp.int32)
+
+        improved = alive & (cur > best)
+        best = jnp.where(improved, cur, best)
+        best_t = jnp.where(improved, lo + argp, best_t)
+        best_q = jnp.where(improved, d - (lo + argp), best_q)
+
+        # x-drop + end-of-matrix termination
+        step_alive = alive & (cur >= best - xdrop) & (d < t_len + q_len)
+
+        # --- move decision for diag d+1 ---
+        move_b = argp > (W // 2)  # deep in target -> slide band down
+        new_lo = jnp.where(step_alive & move_b, lo + 1, lo)
+        new_dlt2 = jnp.where(step_alive & move_b, 1, 0).astype(jnp.int32)
+
+        # window updates (one new char per pair)
+        t_new_idx = jnp.clip(lo + W - 1, 0, L - 1)[:, None]
+        t_new = jnp.take_along_axis(T, t_new_idx, axis=1)[:, 0]
+        twin_b = _shift(twin, 1, PAD_CHAR).at[:, W - 1].set(t_new)
+        q_new_idx = jnp.clip(d - lo, 0, L - 1)[:, None]
+        q_new = jnp.take_along_axis(Q, q_new_idx, axis=1)[:, 0]
+        qwin_a = _shift(qwin, -1, PAD_CHAR).at[:, 0].set(q_new)
+        twin = jnp.where(move_b[:, None], twin_b, twin)
+        qwin = jnp.where(move_b[:, None], qwin, qwin_a)
+
+        return dict(
+            a1=jnp.where(step_alive[:, None], a2, a1),
+            a2=jnp.where(step_alive[:, None], a3, a2),
+            lo=new_lo,
+            dlt1=jnp.where(step_alive, dlt2, dlt1),
+            dlt2=new_dlt2,
+            d=jnp.where(step_alive, d + 1, d),
+            twin=twin,
+            qwin=qwin,
+            best=best,
+            best_t=best_t,
+            best_q=best_q,
+            alive=step_alive,
+            step=state["step"] + 1,
+        )
+
+    state = dict(
+        a1=a1, a2=a2, lo=lo, dlt1=dlt1, dlt2=jnp.zeros((B,), jnp.int32),
+        d=d, twin=twin, qwin=qwin, best=best, best_t=best_t, best_q=best_q,
+        alive=alive, step=jnp.int32(0),
+    )
+    state = jax.lax.while_loop(cond, body, state)
+    return dict(score=state["best"], t_end=state["best_t"], q_end=state["best_q"])
+
+
+# ----------------------------------------------------------------------
+# Seed-and-extend driver (xavierAlign / XavierXDrop equivalents)
+# ----------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class AlignmentResult:
+    """Extended seeds + scores for a batch of candidate pairs, in the
+    coordinate frame of PostAlignDecision (include/overlap.hpp:413-497):
+    H coords are on the reverse-complemented H read when strand is 'c'."""
+
+    score: np.ndarray   # (P,) int32
+    beg_h: np.ndarray
+    end_h: np.ndarray
+    beg_v: np.ndarray
+    end_v: np.ndarray
+    strand_rc: np.ndarray  # (P,) bool
+
+
+def _gather_reversed_prefix(S, end, L):
+    """out[b, t] = S[b, end[b]-1-t] for t < end[b], PAD after."""
+    idx = end[:, None] - 1 - jnp.arange(L, dtype=jnp.int32)[None, :]
+    ok = idx >= 0
+    return jnp.where(ok, jnp.take_along_axis(S, jnp.clip(idx, 0, L - 1), axis=1), PAD_CHAR)
+
+
+def _gather_suffix(S, start, length, L):
+    """out[b, t] = S[b, start[b]+t] for t < length[b]-start[b]."""
+    idx = start[:, None] + jnp.arange(L, dtype=jnp.int32)[None, :]
+    ok = idx < length[:, None]
+    return jnp.where(ok, jnp.take_along_axis(S, jnp.clip(idx, 0, L - 1), axis=1), PAD_CHAR)
+
+
+@partial(jax.jit, static_argnames=("band", "kmer_size"))
+def _seed_extend_batch(
+    H, len_h, V, len_v, seed_h, seed_v, xdrop, kmer_size: int, band: int
+):
+    """Both-direction extension of one seed per pair.
+
+    H is already strand-corrected (reverse-complemented where needed)
+    and seed_h is in the corrected frame. Left extension spans the seed
+    (reversed prefixes up to seed end), right extension the suffixes
+    after the seed — mirroring XavierXDrop's EXTEND_BOTH composition
+    (xavier/xavier.h:326-372)."""
+    k = kmer_size
+    B, L = H.shape
+    seed_end_h = seed_h + k
+    seed_end_v = seed_v + k
+
+    lt = _gather_reversed_prefix(H, seed_end_h, L)
+    lq = _gather_reversed_prefix(V, seed_end_v, L)
+    left = extend_batch(lt, seed_end_h, lq, seed_end_v, xdrop, band=band, max_steps=2 * L)
+
+    rt = _gather_suffix(H, seed_end_h, len_h, L)
+    rq = _gather_suffix(V, seed_end_v, len_v, L)
+    right = extend_batch(
+        rt, len_h - seed_end_h, rq, len_v - seed_end_v, xdrop, band=band, max_steps=2 * L
+    )
+
+    return dict(
+        score=left["score"] + right["score"],
+        beg_h=seed_end_h - left["t_end"],
+        beg_v=seed_end_v - left["q_end"],
+        end_h=seed_end_h + right["t_end"],
+        end_v=seed_end_v + right["q_end"],
+    )
+
+
+def align_candidates(
+    reads_padded: np.ndarray,
+    read_lengths: np.ndarray,
+    pairs,
+    config,
+    batch_size: int = 0,
+) -> AlignmentResult:
+    """Align all candidate pairs (host driver, batches on device).
+
+    reads_padded: (R, Lmax) int8 2-bit codes, PAD elsewhere
+    pairs: CandidatePairs (seed per pair). Strand handling follows
+    xavierAlign (include/align.hpp:152-202): if the seed's forward
+    strings disagree (seed_rc), the H read is reverse-complemented and
+    the seed H coordinate flipped before extension.
+    """
+    P = pairs.num_pairs
+    if P == 0:
+        z = np.zeros(0, np.int32)
+        return AlignmentResult(z, z, z, z, z, np.zeros(0, bool))
+    if batch_size <= 0:
+        batch_size = config.align_batch
+    R, Lmax = reads_padded.shape
+    k = config.kmer_size
+    reads_dev = jnp.asarray(reads_padded)
+    lens_dev = jnp.asarray(read_lengths.astype(np.int32))
+
+    score = np.zeros(P, np.int32)
+    beg_h = np.zeros(P, np.int32)
+    end_h = np.zeros(P, np.int32)
+    beg_v = np.zeros(P, np.int32)
+    end_v = np.zeros(P, np.int32)
+
+    # order by longer read of the pair so device batches are
+    # length-homogeneous (lockstep while_loop wastes less)
+    pair_len = np.maximum(read_lengths[pairs.read_h], read_lengths[pairs.read_v])
+    order = np.argsort(pair_len, kind="stable")
+
+    for s in range(0, P, batch_size):
+        sel = order[s : s + batch_size]
+        bh = jnp.asarray(pairs.read_h[sel])
+        bv = jnp.asarray(pairs.read_v[sel])
+        h_seq = reads_dev[bh]
+        v_seq = reads_dev[bv]
+        lh = lens_dev[bh]
+        lv = lens_dev[bv]
+        ph = jnp.asarray(pairs.pos_h[sel].astype(np.int32))
+        pv = jnp.asarray(pairs.pos_v[sel].astype(np.int32))
+        rc = jnp.asarray(pairs.seed_rc[sel])
+
+        # strand correction: reverse-complement H rows where needed
+        idx = (lh[:, None] - 1 - jnp.arange(Lmax, dtype=jnp.int32)[None, :])
+        rc_seq = jnp.where(
+            idx >= 0,
+            jnp.take_along_axis(h_seq, jnp.clip(idx, 0, Lmax - 1), axis=1) ^ 3,
+            PAD_CHAR,
+        )
+        h_seq = jnp.where(rc[:, None], rc_seq, h_seq)
+        ph = jnp.where(rc, lh - ph - k, ph)
+
+        out = _seed_extend_batch(
+            h_seq, lh, v_seq, lv, ph, pv, int(config.xdrop), k, config.band_width
+        )
+        score[sel] = np.asarray(out["score"])
+        beg_h[sel] = np.asarray(out["beg_h"])
+        end_h[sel] = np.asarray(out["end_h"])
+        beg_v[sel] = np.asarray(out["beg_v"])
+        end_v[sel] = np.asarray(out["end_v"])
+
+    return AlignmentResult(score, beg_h, end_h, beg_v, end_v, pairs.seed_rc.copy())
+
+
+def pad_reads(reads, bucket: int = 512) -> Tuple[np.ndarray, np.ndarray]:
+    """ReadSet -> (R, Lmax) int8 padded matrix + lengths. Lmax rounded
+    up to `bucket` to stabilise jit shapes across runs."""
+    lens = reads.lengths.astype(np.int32)
+    lmax = int(((int(lens.max()) + bucket - 1) // bucket) * bucket) if len(lens) else bucket
+    mat = np.full((reads.num_reads, lmax), 127, dtype=np.int8)
+    for r in range(reads.num_reads):
+        s, e = reads.offsets[r], reads.offsets[r + 1]
+        mat[r, : e - s] = reads.codes[s:e]
+    return mat, lens

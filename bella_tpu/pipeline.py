@@ -1,0 +1,114 @@
+"""End-to-end overlap pipeline driver.
+
+Orchestrates the phases of src/main.cpp:65-535 (counting -> matrix ->
+SpGEMM/chain -> align -> decide -> write) over the TPU-native stages.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import numpy as np
+
+from bella_tpu.align.xdrop import align_candidates, pad_reads
+from bella_tpu.config import BellaConfig
+from bella_tpu.io import writers
+from bella_tpu.io.fastq import ReadSet, read_files
+from bella_tpu.kmers.count import build_reliable_triples, extract_occurrences
+from bella_tpu.overlap.decision import post_align_decision, slope
+from bella_tpu.overlap.pairs import CandidatePairs, generate_candidates
+from bella_tpu.utils.log import log, phase
+
+
+@dataclasses.dataclass
+class PipelineResult:
+    reads: ReadSet
+    num_kmers: int
+    nnz: int
+    pairs: CandidatePairs
+    rows: List[str]
+    num_output: int
+    alignment: Optional[object] = None  # AlignmentResult when aligned
+
+
+def run_pipeline(
+    reads: ReadSet, config: BellaConfig, output: Optional[str] = None
+) -> PipelineResult:
+    if config.estimate_err and reads.err_bases:
+        config.error_rate = reads.estimated_error_rate
+        log("errorRate (estimated)", f"{config.error_rate:.6f}")
+
+    with phase("kmerCounting"):
+        occ = extract_occurrences(reads, config)
+        if config.use_minimizer or config.use_syncmer:
+            from bella_tpu.kmers.select import select_occurrences
+
+            occ = select_occurrences(occ, reads, config)
+        tri = build_reliable_triples(reads, config, occ)
+    log("numReliableKmers", tri.num_kmers)
+    log("nnzA", tri.nnz)
+    if tri.num_kmers == 0:
+        # reference exits with a diagnostic (include/kmercount.hpp:662-667)
+        raise RuntimeError(
+            "0 reliable k-mers: all frequencies outside "
+            f"[{config.lower_freq}, {config.upper_freq}]; reduce k or bounds"
+        )
+
+    with phase("overlapDetection"):
+        pairs = generate_candidates(tri, reads.lengths, config)
+    log("candidatePairs", pairs.num_pairs)
+
+    aln = None
+    if config.skip_alignment:
+        with phase("outputting"):
+            rows = writers.overlap_only_rows(pairs, reads)
+    else:
+        with phase("alignment"):
+            padded, lens = pad_reads(reads)
+            aln = align_candidates(padded, lens, pairs, config)
+        with phase("decision"):
+            dec = post_align_decision(
+                aln, pairs.read_h, pairs.read_v, reads.lengths, config
+            )
+            passed = dec["passed"]
+        log("alignedPairs", pairs.num_pairs)
+        log("outputted", int(passed.sum()))
+        with phase("outputting"):
+            idx = np.flatnonzero(passed)
+            row_fn = writers.paf_rows if config.output_paf else writers.m4_rows
+            if config.output_paf:
+                rows = writers.paf_rows(
+                    reads,
+                    pairs.read_h[idx], pairs.read_v[idx],
+                    aln.score[idx], dec["overlap"][idx], aln.strand_rc[idx],
+                    aln.beg_v[idx], aln.end_v[idx], aln.beg_h[idx], aln.end_h[idx],
+                )
+            else:
+                rows = writers.m4_rows(
+                    reads,
+                    pairs.read_h[idx], pairs.read_v[idx], pairs.count[idx],
+                    aln.score[idx], dec["overlap"][idx], aln.strand_rc[idx],
+                    aln.beg_v[idx], aln.end_v[idx], aln.beg_h[idx], aln.end_h[idx],
+                )
+
+    if output is not None:
+        writers.write_rows(output, rows)
+        log("outputFile", output)
+
+    return PipelineResult(
+        reads=reads,
+        num_kmers=tri.num_kmers,
+        nnz=tri.nnz,
+        pairs=pairs,
+        rows=rows,
+        num_output=len(rows),
+        alignment=aln,
+    )
+
+
+def run_files(fofn: str, config: BellaConfig, output: str) -> PipelineResult:
+    with phase("fastqParsing"):
+        reads = read_files(fofn)
+    log("numReads", reads.num_reads)
+    return run_pipeline(reads, config, output)

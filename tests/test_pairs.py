@@ -1,0 +1,111 @@
+"""Candidate-pair generation vs a brute-force Python oracle implementing
+the documented chaining semantics (quantized-bin variant of chain.hpp)."""
+
+import collections
+
+import numpy as np
+import pytest
+
+from bella_tpu import BellaConfig
+from bella_tpu.io import ReadSet
+from bella_tpu.io.simulate import random_genome, sample_reads
+from bella_tpu.kmers import build_reliable_triples, extract_occurrences
+from bella_tpu.overlap import generate_candidates
+
+COMP = {"A": "T", "C": "G", "G": "C", "T": "A"}
+
+
+def rc(s):
+    return "".join(COMP[c] for c in reversed(s))
+
+
+def oracle_pairs(seqs, cfg):
+    """Brute-force: reliable canonical k-mers -> all lower-tri pairs ->
+    quantized binning -> majority vote -> seed (min posH in best bin)."""
+    k, L, U, B = cfg.kmer_size, cfg.lower_freq, cfg.upper_freq, cfg.bin_size
+    occ = collections.defaultdict(list)  # canon -> [(read, pos, is_rc)]
+    for r, s in enumerate(seqs):
+        for p in range(len(s) - k + 1):
+            fwd = s[p : p + k]
+            rcs = rc(fwd)
+            canon = min(fwd, rcs)
+            occ[canon].append((r, p, rcs < fwd))
+    pairs = collections.defaultdict(list)
+    for canon, lst in occ.items():
+        if not (L <= len(lst) <= U):
+            continue
+        for i in range(len(lst)):
+            for j in range(i):
+                (r1, p1, c1), (r2, p2, c2) = lst[i], lst[j]
+                if r1 == r2:
+                    continue
+                (h, ph, ch), (v, pv, cv) = max(
+                    [(r1, p1, c1), (r2, p2, c2)]
+                ), min([(r1, p1, c1), (r2, p2, c2)])
+                flip = ch != cv
+                lh, lv = len(seqs[h]), len(seqs[v])
+                bh = lh - ph - k if flip else ph
+                ov = min(bh, pv) + min(lh - (bh + k), lv - (pv + k)) + k
+                pairs[(h, v)].append((ph, pv, flip, ov))
+    out = {}
+    for (h, v), lst in pairs.items():
+        lst.sort(key=lambda t: (t[3] // B, t[0], t[1]))
+        bins = collections.defaultdict(list)
+        for t in lst:
+            bins[t[3] // B].append(t)
+        support = {}
+        for b, items in bins.items():
+            s = 0
+            prev = None
+            for ph, pv, flip, ov in items:
+                if prev is not None and abs(ph - prev[0]) <= k and abs(pv - prev[1]) <= k:
+                    pass
+                else:
+                    s += 1
+                prev = (ph, pv)
+            support[b] = s
+        best = max(support, key=lambda b: (support[b], -b))
+        seed = bins[best][0]
+        out[(h, v)] = dict(
+            count=len(lst), matches=support[best],
+            seed=(seed[0], seed[1]), ov=seed[3], flip=seed[2],
+        )
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_pairs_match_oracle(seed):
+    g = random_genome(4000, seed=seed)
+    reads, _ = sample_reads(
+        g, 14, mean_len=700, min_len=300, error_rate=0.08, seed=seed + 10, circular=False
+    )
+    seqs = [reads.sequence(r) for r in range(reads.num_reads)]
+    cfg = BellaConfig(kmer_size=17, lower_freq=2, upper_freq=8)
+    tri = build_reliable_triples(reads, cfg, extract_occurrences(reads, cfg))
+    got = generate_candidates(tri, reads.lengths, cfg)
+    exp = oracle_pairs(seqs, cfg)
+
+    got_map = {
+        (int(got.read_h[i]), int(got.read_v[i])): i for i in range(got.num_pairs)
+    }
+    assert set(got_map) == set(exp), (
+        f"pair sets differ: extra={set(got_map)-set(exp)} missing={set(exp)-set(got_map)}"
+    )
+    for key, e in exp.items():
+        i = got_map[key]
+        assert int(got.count[i]) == e["count"], (key, int(got.count[i]), e)
+        assert int(got.matches[i]) == e["matches"], (key, int(got.matches[i]), e)
+        assert int(got.overlap_est[i]) == e["ov"], (key, int(got.overlap_est[i]), e)
+        assert (int(got.pos_h[i]), int(got.pos_v[i])) == e["seed"], (key, e)
+        assert bool(got.seed_rc[i]) == e["flip"]
+
+
+def test_no_self_pairs_and_triangular():
+    g = random_genome(2000, seed=5)
+    reads, _ = sample_reads(g, 10, mean_len=600, min_len=300, error_rate=0.05, seed=6, circular=False)
+    cfg = BellaConfig()
+    tri = build_reliable_triples(reads, cfg, extract_occurrences(reads, cfg))
+    got = generate_candidates(tri, reads.lengths, cfg)
+    assert (got.read_h > got.read_v).all()
+    keys = got.read_h.astype(np.int64) << 32 | got.read_v
+    assert len(np.unique(keys)) == got.num_pairs  # one row per pair

@@ -1,0 +1,75 @@
+"""End-to-end accuracy gates on simulated data (the role of the E. coli
+demo + benchmark/result in the reference, README.md:146-152)."""
+
+import numpy as np
+import pytest
+
+from bella_tpu import BellaConfig
+from bella_tpu.eval import evaluate_sets, parse_bella, parse_paf, truth_pairs
+from bella_tpu.io.simulate import random_genome, sample_reads
+from bella_tpu.pipeline import run_pipeline
+
+MIN_OV = 2000
+
+
+@pytest.fixture(scope="module")
+def sim():
+    g = random_genome(30000, seed=42)
+    reads, truth = sample_reads(
+        g, 90, mean_len=3000, min_len=1200, error_rate=0.15, seed=7, circular=False
+    )
+    by_ref = {"genome": [(name, s, e) for _, name, s, e in truth]}
+    G = truth_pairs(by_ref, MIN_OV)
+    return reads, G
+
+
+def test_skip_alignment_recall(sim, tmp_path):
+    reads, G = sim
+    cfg = BellaConfig(skip_alignment=True)
+    out = tmp_path / "overlaps.out"
+    res = run_pipeline(reads, cfg, str(out))
+    S = parse_bella(str(out), MIN_OV)
+    m = evaluate_sets(S, G, duplicate=True)
+    print(m)
+    assert m.recall > 85.0, m
+    # overlap-only keeps everything the SpGEMM found; precision is lower
+    assert m.precision > 50.0, m
+
+
+def test_full_pipeline_m4(sim, tmp_path):
+    reads, G = sim
+    cfg = BellaConfig(error_rate=0.15)
+    out = tmp_path / "aligned.out"
+    res = run_pipeline(reads, cfg, str(out))
+    S = parse_bella(str(out), MIN_OV)
+    m = evaluate_sets(S, G, duplicate=True)
+    print(m)
+    assert m.recall > 80.0, m
+    assert m.precision > 85.0, m
+    # alignment must improve precision over overlap-only
+    # and every row must be well-formed M4
+    row = res.rows[0].rstrip("\n").split("\t")
+    assert len(row) == 12
+    assert row[5] in ("n", "c")
+
+
+def test_full_pipeline_paf(sim, tmp_path):
+    reads, G = sim
+    cfg = BellaConfig(error_rate=0.15, output_paf=True)
+    out = tmp_path / "aligned.paf"
+    run_pipeline(reads, cfg, str(out))
+    S = parse_paf(str(out), MIN_OV)
+    m = evaluate_sets(S, G, duplicate=True)
+    print(m)
+    assert m.recall > 80.0, m
+    assert m.precision > 85.0, m
+
+
+def test_estimate_error_rate(sim, tmp_path):
+    reads, _ = sim
+    # simulator writes constant-quality fastq; estimate path just needs
+    # to not crash and to produce sane output with estimated error
+    cfg = BellaConfig(estimate_err=True, skip_alignment=True)
+    reads2 = reads
+    res = run_pipeline(reads2, cfg)
+    assert res.num_output > 0
