@@ -129,15 +129,15 @@ def _emit_and_chain(
     pair_b = seg.boundaries(key)
     bin_b = seg.boundaries2(key, bin_id)
 
-    # duplicate = within kmer_size of predecessor in BOTH coords
-    # (distance predicate, chain.hpp:89-97,121)
-    prev_ph = jnp.concatenate([pos_h[:1], pos_h[:-1]])
-    prev_pv = jnp.concatenate([pos_v[:1], pos_v[:-1]])
-    dup = (
-        (~bin_b)
-        & (jnp.abs(pos_h - prev_ph) <= k)
-        & (jnp.abs(pos_v - prev_pv) <= k)
-    )
+    # support counts well-separated k-mers: the reference only counts a
+    # k-mer when it is > kmer_size from the bin's kept k-mers in both
+    # coordinates (distance predicate, chain.hpp:89-97,121). Order-free
+    # TPU equivalent: count distinct posH // (k+1) buckets per bin
+    # (a dense run of n consecutive shared k-mers contributes ~n/(k+1)
+    # support, matching the greedy-spacing count).
+    bucket = pos_h // (k + 1)
+    prev_bucket = jnp.concatenate([bucket[:1], bucket[:-1]])
+    dup = (~bin_b) & (bucket == prev_bucket)
     kept = (~dup) & live
 
     support = seg.seg_sum(kept.astype(jnp.int32), bin_b).astype(jnp.int32)

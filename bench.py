@@ -1,0 +1,90 @@
+"""Benchmark: end-to-end overlap-detection throughput on one chip.
+
+Synthesizes an E. coli-demo-like workload (the reference's measurement
+protocol, BASELINE.md: 30X long reads, k=17, bounds [2,8],
+--skip-alignment) and measures the device pipeline: k-mer extraction ->
+exact counting -> reliable filter -> candidate SpGEMM + chaining.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The reference publishes no in-repo numbers (BASELINE.json.published is
+empty); vs_baseline is measured against a stored previous-round value in
+BENCH_BASELINE.json when present, else 1.0.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+GENOME = int(os.environ.get("BELLA_BENCH_GENOME", 300_000))
+COVERAGE = int(os.environ.get("BELLA_BENCH_COVERAGE", 25))
+MEAN_LEN = int(os.environ.get("BELLA_BENCH_MEAN_LEN", 6000))
+
+
+def main():
+    t_setup = time.time()
+    from bella_tpu import BellaConfig
+    from bella_tpu.io.simulate import random_genome, sample_reads
+    from bella_tpu.kmers import build_reliable_triples, extract_occurrences
+    from bella_tpu.overlap import generate_candidates
+
+    cfg = BellaConfig()
+    g = random_genome(GENOME, seed=0)
+    n_reads = GENOME * COVERAGE // MEAN_LEN
+    reads, _ = sample_reads(
+        g, n_reads, mean_len=MEAN_LEN, min_len=1000, error_rate=0.15, seed=1
+    )
+    total_bases = int(reads.lengths.sum())
+    print(
+        f"bench setup: {reads.num_reads} reads, {total_bases/1e6:.1f} Mbp "
+        f"({time.time()-t_setup:.1f}s)",
+        file=sys.stderr,
+    )
+
+    def run_once():
+        occ = extract_occurrences(reads, cfg)
+        tri = build_reliable_triples(reads, cfg, occ)
+        pairs = generate_candidates(tri, reads.lengths, cfg)
+        return tri, pairs
+
+    # warmup (compile)
+    t0 = time.time()
+    tri, pairs = run_once()
+    warm = time.time() - t0
+    # timed
+    t0 = time.time()
+    tri, pairs = run_once()
+    dt = time.time() - t0
+
+    bases_per_s = total_bases / dt
+    expanded = tri.nnz * (cfg.upper_freq - 1)  # SpGEMM expansion rows
+    print(
+        f"bench: warm={warm:.2f}s run={dt:.2f}s nnzA={tri.nnz} "
+        f"pairs={pairs.num_pairs} expanded={expanded} "
+        f"({expanded/dt/1e6:.1f} Mrows/s)",
+        file=sys.stderr,
+    )
+
+    baseline = None
+    if os.path.exists("BENCH_BASELINE.json"):
+        try:
+            baseline = json.load(open("BENCH_BASELINE.json")).get("value")
+        except Exception:
+            baseline = None
+    vs = (bases_per_s / baseline) if baseline else 1.0
+    print(
+        json.dumps(
+            {
+                "metric": "overlap_detection_bases_per_s",
+                "value": round(bases_per_s, 1),
+                "unit": "bases/s",
+                "vs_baseline": round(vs, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -53,17 +53,10 @@ def oracle_pairs(seqs, cfg):
         bins = collections.defaultdict(list)
         for t in lst:
             bins[t[3] // B].append(t)
-        support = {}
-        for b, items in bins.items():
-            s = 0
-            prev = None
-            for ph, pv, flip, ov in items:
-                if prev is not None and abs(ph - prev[0]) <= k and abs(pv - prev[1]) <= k:
-                    pass
-                else:
-                    s += 1
-                prev = (ph, pv)
-            support[b] = s
+        support = {
+            b: len({ph // (k + 1) for ph, pv, flip, ov in items})
+            for b, items in bins.items()
+        }
         best = max(support, key=lambda b: (support[b], -b))
         seed = bins[best][0]
         out[(h, v)] = dict(
