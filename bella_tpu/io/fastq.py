@@ -80,9 +80,18 @@ class ReadSet:
 def parse_fastq(path: str, with_quals: bool = False) -> ReadSet:
     """Parse a (non-gzip) FASTQ file into a ReadSet.
 
-    Vectorized: one pass to locate newlines, then slice the 4-line records.
-    Quality statistics are always accumulated (cheap vectorized pow).
+    Prefers the native C parser (bella_tpu/native, the fq_reader.c
+    replacement); falls back to the vectorized numpy path: one pass to
+    locate newlines, then slice the 4-line records. Quality statistics
+    are always accumulated.
     """
+    from bella_tpu.native import parse_fastq_native
+
+    native = parse_fastq_native(path)
+    if native is not None:
+        names, codes, offsets, err_sum, err_bases = native
+        return ReadSet(names, codes, offsets, err_sum, err_bases)
+
     with open(path, "rb") as f:
         data = np.frombuffer(f.read(), dtype=np.uint8)
     if data.size == 0:

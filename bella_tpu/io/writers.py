@@ -100,3 +100,91 @@ def paf_rows(
 def write_rows(path: str, rows: Sequence[str], append: bool = False) -> None:
     with open(path, "a" if append else "w") as f:
         f.writelines(rows)
+
+
+def _name_table(reads: ReadSet):
+    """'\\0'-joined name buffer + offsets for the native writers."""
+    import ctypes
+
+    blob = b"\x00".join(n.encode() for n in reads.names) + b"\x00"
+    offs = np.zeros(reads.num_reads + 1, dtype=np.int64)
+    pos = 0
+    for i, n in enumerate(reads.names):
+        offs[i] = pos
+        pos += len(n.encode()) + 1
+    offs[reads.num_reads] = pos
+    return blob, offs
+
+
+def write_m4_native(
+    path: str, reads: ReadSet,
+    read_h, read_v, count, score, ov, strand_rc, beg_v, end_v, beg_h, end_h,
+    append: bool = False,
+) -> bool:
+    """Bulk M4 write via the native runtime; returns False if the native
+    library is unavailable (caller falls back to m4_rows)."""
+    import ctypes
+
+    from bella_tpu.native import get_lib
+
+    lib = get_lib()
+    if lib is None:
+        return False
+    blob, offs = _name_table(reads)
+    lens = reads.lengths.astype(np.int64)
+
+    def p32(a):
+        return np.ascontiguousarray(a, np.int32).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_int32)
+        )
+
+    arrs = [np.ascontiguousarray(a, np.int32) for a in
+            (read_h, read_v, count, score, beg_v, end_v, beg_h, end_h)]
+    ov64 = np.ascontiguousarray(ov, np.int64)
+    rc8 = np.ascontiguousarray(strand_rc, np.uint8)
+    got = lib.write_m4(
+        path.encode(), 1 if append else 0, ctypes.c_int64(len(arrs[0])),
+        arrs[0].ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        arrs[1].ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        arrs[2].ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        arrs[3].ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ov64.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        rc8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        arrs[4].ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        arrs[5].ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        arrs[6].ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        arrs[7].ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        blob,
+        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return got >= 0
+
+
+def write_overlap_native(
+    path: str, reads: ReadSet, pairs: CandidatePairs, append: bool = False
+) -> bool:
+    import ctypes
+
+    from bella_tpu.native import get_lib
+
+    lib = get_lib()
+    if lib is None:
+        return False
+    blob, offs = _name_table(reads)
+    lens = reads.lengths.astype(np.int64)
+    rh = np.ascontiguousarray(pairs.read_h, np.int32)
+    rv = np.ascontiguousarray(pairs.read_v, np.int32)
+    cnt = np.ascontiguousarray(pairs.count, np.int32)
+    ov = np.ascontiguousarray(pairs.overlap_est, np.int32)
+    got = lib.write_overlap(
+        path.encode(), 1 if append else 0, ctypes.c_int64(pairs.num_pairs),
+        rh.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        rv.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        cnt.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ov.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        blob,
+        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return got >= 0

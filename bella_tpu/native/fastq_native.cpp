@@ -1,0 +1,200 @@
+// Native ingest + output runtime for bella_tpu.
+//
+// Re-implements the roles of the reference's C I/O layer TPU-side:
+//   * kmercode/fq_reader.c  - block FASTQ parsing (here: one mmap'd
+//     pass emitting 2-bit codes, offsets, name spans, qual error sum)
+//   * include/overlap.hpp:603-640 - bulk overlap-row output (here:
+//     a single formatted write of M4/overlap rows from arrays)
+//
+// Exposed as a C ABI for ctypes; no Python headers needed.
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <cmath>
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
+extern "C" {
+
+// Branch-free 2-bit base code (matches kmercode/Kmer.cpp:215-216).
+static inline uint8_t base_code(uint8_t c) {
+    uint8_t x = (c & 4) >> 1;
+    return x + ((x ^ (c & 2)) >> 1);
+}
+
+// First pass: count records and total sequence bytes.
+// Returns 0 on success.
+int fastq_scan(const char* path, int64_t* num_reads, int64_t* total_bases) {
+    struct stat st;
+    int fd = open(path, O_RDONLY);
+    if (fd < 0) return -1;
+    if (fstat(fd, &st) != 0) { close(fd); return -1; }
+    size_t n = st.st_size;
+    const char* buf =
+        (const char*)mmap(nullptr, n ? n : 1, PROT_READ, MAP_PRIVATE, fd, 0);
+    if (buf == MAP_FAILED) { close(fd); return -1; }
+
+    int64_t reads = 0, bases = 0;
+    size_t i = 0;
+    while (i < n) {
+        // record = 4 lines
+        const char* nl1 = (const char*)memchr(buf + i, '\n', n - i);
+        if (!nl1) break;
+        size_t seq_start = nl1 - buf + 1;
+        const char* nl2 = (const char*)memchr(buf + seq_start, '\n', n - seq_start);
+        if (!nl2) break;
+        size_t plus_start = nl2 - buf + 1;
+        const char* nl3 = (const char*)memchr(buf + plus_start, '\n', n - plus_start);
+        if (!nl3) break;
+        size_t qual_start = nl3 - buf + 1;
+        const char* nl4 = (const char*)memchr(buf + qual_start, '\n', n - qual_start);
+        size_t qual_end = nl4 ? (size_t)(nl4 - buf) : n;
+        if (!nl4 && qual_end - qual_start < (size_t)(nl2 - (buf + seq_start)))
+            break;  // truncated final record: drop (parser parity)
+        reads++;
+        bases += (int64_t)(nl2 - (buf + seq_start));
+        i = nl4 ? qual_end + 1 : n;
+    }
+    *num_reads = reads;
+    *total_bases = bases;
+    munmap((void*)buf, n ? n : 1);
+    close(fd);
+    return 0;
+}
+
+// Second pass: fill caller-allocated buffers.
+//   codes:     [total_bases] uint8 2-bit codes
+//   offsets:   [num_reads+1] int64
+//   name_buf:  [name_cap] char, '\0'-joined read names (first token)
+//   name_offs: [num_reads+1] int64 into name_buf
+//   err_sum:   [1] double, sum of 10^(-q/10) over all bases (Phred+33)
+// Returns number of reads parsed, or -1.
+int64_t fastq_parse(const char* path, uint8_t* codes, int64_t* offsets,
+                    char* name_buf, int64_t name_cap, int64_t* name_offs,
+                    double* err_sum) {
+    struct stat st;
+    int fd = open(path, O_RDONLY);
+    if (fd < 0) return -1;
+    if (fstat(fd, &st) != 0) { close(fd); return -1; }
+    size_t n = st.st_size;
+    const char* buf =
+        (const char*)mmap(nullptr, n ? n : 1, PROT_READ, MAP_PRIVATE, fd, 0);
+    if (buf == MAP_FAILED) { close(fd); return -1; }
+
+    static double err_table[256];
+    static bool init = false;
+    if (!init) {
+        for (int q = 0; q < 256; q++)
+            err_table[q] = pow(10.0, -((double)(q - 33)) / 10.0);
+        init = true;
+    }
+
+    int64_t reads = 0, bases = 0, npos = 0;
+    double errs = 0.0;
+    size_t i = 0;
+    offsets[0] = 0;
+    name_offs[0] = 0;
+    while (i < n) {
+        const char* nl1 = (const char*)memchr(buf + i, '\n', n - i);
+        if (!nl1) break;
+        size_t name_start = i + 1;  // skip '@'
+        size_t name_end = nl1 - buf;
+        const char* nl2 = (const char*)memchr(buf + name_end + 1, '\n', n - name_end - 1);
+        if (!nl2) break;
+        size_t seq_start = name_end + 1;
+        size_t seq_end = nl2 - buf;
+        const char* nl3 = (const char*)memchr(buf + seq_end + 1, '\n', n - seq_end - 1);
+        if (!nl3) break;
+        size_t qual_start = nl3 - buf + 1;
+        const char* nl4 = (const char*)memchr(buf + qual_start, '\n', n - qual_start);
+        size_t qual_end = nl4 ? (size_t)(nl4 - buf) : n;
+        size_t seq_len = seq_end - seq_start;
+        if (!nl4 && qual_end - qual_start < seq_len) break;  // truncated
+
+        // name: first whitespace-delimited token after '@'
+        size_t ne = name_start;
+        while (ne < name_end && buf[ne] != ' ' && buf[ne] != '\t') ne++;
+        int64_t nlen = (int64_t)(ne - name_start);
+        if (npos + nlen + 1 > name_cap) { munmap((void*)buf, n); close(fd); return -2; }
+        memcpy(name_buf + npos, buf + name_start, nlen);
+        npos += nlen;
+        name_buf[npos++] = '\0';
+        name_offs[reads + 1] = npos;
+
+        for (size_t p = 0; p < seq_len; p++)
+            codes[bases + p] = base_code((uint8_t)buf[seq_start + p]);
+        for (size_t p = 0; p < seq_len && qual_start + p < qual_end; p++)
+            errs += err_table[(uint8_t)buf[qual_start + p]];
+
+        bases += (int64_t)seq_len;
+        reads++;
+        offsets[reads] = bases;
+        i = nl4 ? qual_end + 1 : n;
+    }
+    *err_sum = errs;
+    munmap((void*)buf, n ? n : 1);
+    close(fd);
+    return reads;
+}
+
+// Bulk M4 writer: formats rows
+//   nameV \t nameH \t count \t score \t ov \t strand \t begV \t endV \t
+//   lenV \t begH \t endH \t lenH\n
+// names: '\0'-joined buffer + offsets (as produced by fastq_parse).
+// Returns bytes written or -1.
+int64_t write_m4(const char* path, int append, int64_t nrows,
+                 const int32_t* read_h, const int32_t* read_v,
+                 const int32_t* count, const int32_t* score,
+                 const int64_t* ov, const uint8_t* strand_rc,
+                 const int32_t* beg_v, const int32_t* end_v,
+                 const int32_t* beg_h, const int32_t* end_h,
+                 const char* name_buf, const int64_t* name_offs,
+                 const int64_t* lens) {
+    FILE* f = fopen(path, append ? "ab" : "wb");
+    if (!f) return -1;
+    char line[1024];
+    int64_t total = 0;
+    for (int64_t i = 0; i < nrows; i++) {
+        int32_t h = read_h[i], v = read_v[i];
+        int m = snprintf(
+            line, sizeof line,
+            "%s\t%s\t%d\t%d\t%lld\t%c\t%d\t%d\t%lld\t%d\t%d\t%lld\n",
+            name_buf + name_offs[v], name_buf + name_offs[h], count[i],
+            score[i], (long long)ov[i], strand_rc[i] ? 'c' : 'n', beg_v[i],
+            end_v[i], (long long)lens[v], beg_h[i], end_h[i],
+            (long long)lens[h]);
+        fwrite(line, 1, m, f);
+        total += m;
+    }
+    fclose(f);
+    return total;
+}
+
+// Bulk overlap-only writer: nameV nameH count ov lenV lenH
+int64_t write_overlap(const char* path, int append, int64_t nrows,
+                      const int32_t* read_h, const int32_t* read_v,
+                      const int32_t* count, const int32_t* ov,
+                      const char* name_buf, const int64_t* name_offs,
+                      const int64_t* lens) {
+    FILE* f = fopen(path, append ? "ab" : "wb");
+    if (!f) return -1;
+    char line[1024];
+    int64_t total = 0;
+    for (int64_t i = 0; i < nrows; i++) {
+        int32_t h = read_h[i], v = read_v[i];
+        int m = snprintf(line, sizeof line, "%s\t%s\t%d\t%d\t%lld\t%lld\n",
+                         name_buf + name_offs[v], name_buf + name_offs[h],
+                         count[i], ov[i], (long long)lens[v],
+                         (long long)lens[h]);
+        fwrite(line, 1, m, f);
+        total += m;
+    }
+    fclose(f);
+    return total;
+}
+
+}  // extern "C"

@@ -20,13 +20,19 @@ include/overlap.hpp:315-316. The semiring semantics follow chain.hpp:
   - overlapop (chain.hpp:48-71): strand via seed equality, overlap
     estimate = min margins + k,
   - chainop  (chain.hpp:101-150): k-mers whose estimates agree within
-    bin_size vote together; k-mers closer than kmer_size in both
-    coordinates are duplicates,
+    bin_size vote together; support counts well-separated k-mers
+    (> kmer_size apart),
   - choose/chain (common.h:142-170): the most-supported bin wins, its
     first k-mer is the alignment seed.
-Binning here is by quantized estimate (ov // bin_size) instead of the
-reference's data-order greedy merge: deterministic, order-free, and
-equivalent in aggregate (validated by recall/precision parity tests).
+Binning here is by quantized estimate (ov // bin_size) and support by
+distinct posH // (k+1) buckets, instead of the reference's data-order
+greedy merge: deterministic, order-free, equivalent in aggregate
+(validated by recall/precision parity tests).
+
+Memory staging: when the expanded candidate stream would exceed the
+memory budget, emission runs in k-mer-range stages (the reference's
+column-block staging, include/overlap.hpp:682-710) whose valid rows are
+spilled to host, re-sorted, and chained in pair-aligned chunks.
 """
 
 from __future__ import annotations
@@ -42,9 +48,14 @@ import numpy as np
 from bella_tpu.config import BellaConfig
 from bella_tpu.kmers.count import ReliableTriples
 from bella_tpu.utils import segments as seg
+from bella_tpu.utils.log import log
 
 _U64 = jnp.uint64
 PAIR_SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+# device bytes per expanded candidate row in the fused kernel (key 8,
+# bin 4, posH 4, posV 4, flip 1, ov 4; x2 for the out-of-place sort)
+_ROW_BYTES = 50
 
 
 @dataclasses.dataclass
@@ -66,22 +77,28 @@ class CandidatePairs:
     def num_pairs(self) -> int:
         return int(self.read_h.shape[0])
 
+    @staticmethod
+    def empty() -> "CandidatePairs":
+        z = np.zeros(0, np.int32)
+        return CandidatePairs(z, z, z, z, z, z, z, np.zeros(0, bool))
 
-@partial(jax.jit, static_argnames=("upper_freq", "kmer_size", "bin_size"))
-def _emit_and_chain(
-    kmer_ids, read_ids, positions, is_rc, read_lengths,
-    upper_freq: int, kmer_size: int, bin_size: int,
-):
-    """Device kernel: occurrence stream (k-mer-major) -> per-element
-    chained pair stream + seed mask. See module docstring."""
-    m = kmer_ids.shape[0]
-    k = kmer_size
+    @staticmethod
+    def concatenate(parts) -> "CandidatePairs":
+        parts = [p for p in parts if p.num_pairs]
+        if not parts:
+            return CandidatePairs.empty()
+        return CandidatePairs(
+            *(np.concatenate([getattr(p, f.name) for p in parts])
+              for f in dataclasses.fields(CandidatePairs))
+        )
 
+
+def _emit_slices(kmer_ids, read_ids, positions, is_rc, upper_freq: int):
+    """EMIT stage: U-1 shifted slices over k-mer segments."""
     kb = seg.boundaries(kmer_ids)
     rank = seg.seg_rank(kb)
     valid_occ = kmer_ids >= 0
 
-    # ---- EMIT: U-1 shifted slices ----
     keys, phs, pvs, rchs, rcvs = [], [], [], [], []
     for d in range(1, upper_freq):
         ra, rb = read_ids[d:], read_ids[:-d]
@@ -103,9 +120,13 @@ def _emit_and_chain(
     pos_v = jnp.concatenate(pvs).astype(jnp.int32)
     rc_h = jnp.concatenate(rchs)
     rc_v = jnp.concatenate(rcvs)
+    return key, pos_h, pos_v, rc_h, rc_v
 
-    # ---- per-candidate semiring "multiply": strand + overlap estimate
-    # (overlapop, chain.hpp:48-71) ----
+
+def _multiop(key, pos_h, pos_v, rc_h, rc_v, read_lengths, kmer_size: int):
+    """Per-candidate semiring multiply: strand + overlap estimate
+    (overlapop, chain.hpp:48-71)."""
+    k = kmer_size
     h = (key >> _U64(32)).astype(jnp.int32)
     v = key.astype(jnp.int32)  # low 32 bits; junk for sentinels (masked)
     len_h = read_lengths[jnp.clip(h, 0, read_lengths.shape[0] - 1)]
@@ -117,24 +138,19 @@ def _emit_and_chain(
         + jnp.minimum(len_h - (beg_h + k), len_v - (pos_v + k))
         + k
     ).astype(jnp.int32)
-    bin_id = (ov // bin_size).astype(jnp.int32)
+    return flip, ov
 
-    # ---- SORT by (pair, bin, posH) ----
-    key, bin_id, pos_h, pos_v, flip, ov = jax.lax.sort(
-        (key, bin_id, pos_h, pos_v, flip, ov), num_keys=3
-    )
+
+def _chain_sorted(key, bin_id, pos_h, pos_v, flip, ov, kmer_size: int):
+    """REDUCE stage on a (pair, bin, posH)-sorted stream."""
+    k = kmer_size
     live = key != jnp.asarray(PAIR_SENTINEL)
-
-    # ---- REDUCE: chainop + choose via segmented scans ----
     pair_b = seg.boundaries(key)
     bin_b = seg.boundaries2(key, bin_id)
 
-    # support counts well-separated k-mers: the reference only counts a
-    # k-mer when it is > kmer_size from the bin's kept k-mers in both
-    # coordinates (distance predicate, chain.hpp:89-97,121). Order-free
-    # TPU equivalent: count distinct posH // (k+1) buckets per bin
-    # (a dense run of n consecutive shared k-mers contributes ~n/(k+1)
-    # support, matching the greedy-spacing count).
+    # support counts well-separated k-mers (> kmer_size apart in the
+    # reference's distance predicate, chain.hpp:89-97,121): distinct
+    # posH // (k+1) buckets per bin, order-free
     bucket = pos_h // (k + 1)
     prev_bucket = jnp.concatenate([bucket[:1], bucket[:-1]])
     dup = (~bin_b) & (bucket == prev_bucket)
@@ -165,23 +181,46 @@ def _emit_and_chain(
     )
 
 
-def generate_candidates(
-    triples: ReliableTriples, read_lengths: np.ndarray, config: BellaConfig
-) -> CandidatePairs:
-    """Host driver: run the device kernel, compact seeds to one row/pair."""
-    if triples.nnz == 0:
-        z = np.zeros(0, np.int32)
-        return CandidatePairs(z, z, z, z, z, z, z, np.zeros(0, bool))
-    out = _emit_and_chain(
-        jnp.asarray(triples.kmer_ids),
-        jnp.asarray(triples.read_ids),
-        jnp.asarray(triples.positions),
-        jnp.asarray(triples.is_rc),
-        jnp.asarray(np.asarray(read_lengths, dtype=np.int32)),
-        upper_freq=config.upper_freq,
-        kmer_size=config.kmer_size,
-        bin_size=config.bin_size,
+@partial(jax.jit, static_argnames=("upper_freq", "kmer_size", "bin_size"))
+def _emit_and_chain(
+    kmer_ids, read_ids, positions, is_rc, read_lengths,
+    upper_freq: int, kmer_size: int, bin_size: int,
+):
+    """Fused single-stage kernel: EMIT -> multiop -> SORT -> REDUCE."""
+    key, pos_h, pos_v, rc_h, rc_v = _emit_slices(
+        kmer_ids, read_ids, positions, is_rc, upper_freq
     )
+    flip, ov = _multiop(key, pos_h, pos_v, rc_h, rc_v, read_lengths, kmer_size)
+    bin_id = (ov // bin_size).astype(jnp.int32)
+    key, bin_id, pos_h, pos_v, flip, ov = jax.lax.sort(
+        (key, bin_id, pos_h, pos_v, flip, ov), num_keys=3
+    )
+    return _chain_sorted(key, bin_id, pos_h, pos_v, flip, ov, kmer_size)
+
+
+@partial(jax.jit, static_argnames=("upper_freq", "kmer_size", "bin_size"))
+def _emit_stage(
+    kmer_ids, read_ids, positions, is_rc, read_lengths,
+    upper_freq: int, kmer_size: int, bin_size: int,
+):
+    """Staged path, phase 1: emit + multiop only (rows spill to host)."""
+    key, pos_h, pos_v, rc_h, rc_v = _emit_slices(
+        kmer_ids, read_ids, positions, is_rc, upper_freq
+    )
+    flip, ov = _multiop(key, pos_h, pos_v, rc_h, rc_v, read_lengths, kmer_size)
+    return dict(key=key, pos_h=pos_h, pos_v=pos_v, flip=flip, ov=ov)
+
+
+@partial(jax.jit, static_argnames=("kmer_size",))
+def _chain_stage(key, bin_id, pos_h, pos_v, flip, ov, kmer_size: int):
+    """Staged path, phase 2: sort + reduce one pair-aligned chunk."""
+    key, bin_id, pos_h, pos_v, flip, ov = jax.lax.sort(
+        (key, bin_id, pos_h, pos_v, flip, ov), num_keys=3
+    )
+    return _chain_sorted(key, bin_id, pos_h, pos_v, flip, ov, kmer_size)
+
+
+def _compact(out) -> CandidatePairs:
     mask = np.asarray(out["seed_mask"])
     return CandidatePairs(
         read_h=np.asarray(out["read_h"])[mask],
@@ -193,3 +232,110 @@ def generate_candidates(
         overlap_est=np.asarray(out["overlap_est"])[mask],
         seed_rc=np.asarray(out["seed_rc"])[mask],
     )
+
+
+def generate_candidates(
+    triples: ReliableTriples, read_lengths: np.ndarray, config: BellaConfig
+) -> CandidatePairs:
+    """Host driver: single fused stage when the expanded stream fits the
+    memory budget, else k-mer-range staging with host spill."""
+    if triples.nnz == 0:
+        return CandidatePairs.empty()
+    lengths = jnp.asarray(np.asarray(read_lengths, dtype=np.int32))
+    expanded = triples.nnz * (config.upper_freq - 1)
+    budget_rows = int(config.total_memory_mb * 1e6 / _ROW_BYTES)
+    if expanded <= budget_rows:
+        out = _emit_and_chain(
+            jnp.asarray(triples.kmer_ids),
+            jnp.asarray(triples.read_ids),
+            jnp.asarray(triples.positions),
+            jnp.asarray(triples.is_rc),
+            lengths,
+            upper_freq=config.upper_freq,
+            kmer_size=config.kmer_size,
+            bin_size=config.bin_size,
+        )
+        return _compact(out)
+    return _generate_candidates_staged(
+        triples, lengths, config, budget_rows
+    )
+
+
+def _pad_to_bucket(a, size, fill):
+    pad = size - a.shape[0]
+    if pad <= 0:
+        return a
+    return np.concatenate([a, np.full(pad, fill, a.dtype)])
+
+
+def _generate_candidates_staged(
+    triples: ReliableTriples, lengths, config: BellaConfig, budget_rows: int
+) -> CandidatePairs:
+    """K-mer-range emission stages -> host spill -> global host sort ->
+    pair-aligned chain chunks (include/overlap.hpp:682-786 reshaped)."""
+    u1 = config.upper_freq - 1
+    stage_nnz = max(budget_rows // u1, 1 << 14)
+    # stage boundaries must not split a k-mer segment
+    nnz = triples.nnz
+    starts = [0]
+    while starts[-1] + stage_nnz < nnz:
+        cut = starts[-1] + stage_nnz
+        kid = triples.kmer_ids[cut]
+        while cut > starts[-1] and triples.kmer_ids[cut - 1] == kid:
+            cut -= 1
+        starts.append(cut if cut > starts[-1] else starts[-1] + stage_nnz)
+    starts.append(nnz)
+    num_stages = len(starts) - 1
+    log("RequiredStages", num_stages)
+
+    bucket = stage_nnz  # stable jit shape across stages
+    spill = {f: [] for f in ("key", "pos_h", "pos_v", "flip", "ov")}
+    for s in range(num_stages):
+        lo, hi = starts[s], starts[s + 1]
+        out = _emit_stage(
+            jnp.asarray(_pad_to_bucket(triples.kmer_ids[lo:hi], bucket, -1)),
+            jnp.asarray(_pad_to_bucket(triples.read_ids[lo:hi], bucket, 0)),
+            jnp.asarray(_pad_to_bucket(triples.positions[lo:hi], bucket, 0)),
+            jnp.asarray(_pad_to_bucket(triples.is_rc[lo:hi], bucket, False)),
+            lengths,
+            upper_freq=config.upper_freq,
+            kmer_size=config.kmer_size,
+            bin_size=config.bin_size,
+        )
+        key = np.asarray(out["key"])
+        live = key != PAIR_SENTINEL
+        for f in spill:
+            spill[f].append(np.asarray(out[f])[live])
+
+    key = np.concatenate(spill["key"])
+    order = np.argsort(key, kind="stable")
+    key = key[order]
+    pos_h = np.concatenate(spill["pos_h"])[order]
+    pos_v = np.concatenate(spill["pos_v"])[order]
+    flip = np.concatenate(spill["flip"])[order]
+    ov = np.concatenate(spill["ov"])[order]
+    bin_id = (ov // config.bin_size).astype(np.int32)
+
+    total = key.shape[0]
+    chunk_rows = budget_rows // 2
+    parts = []
+    lo = 0
+    while lo < total:
+        hi = min(lo + chunk_rows, total)
+        # don't split a pair across chunks
+        while hi < total and key[hi] == key[hi - 1]:
+            hi += 1
+        size = hi - lo
+        padded = ((size + (1 << 16) - 1) >> 16) << 16  # 64k buckets
+        out = _chain_stage(
+            jnp.asarray(_pad_to_bucket(key[lo:hi], padded, PAIR_SENTINEL)),
+            jnp.asarray(_pad_to_bucket(bin_id[lo:hi], padded, 0)),
+            jnp.asarray(_pad_to_bucket(pos_h[lo:hi], padded, 0)),
+            jnp.asarray(_pad_to_bucket(pos_v[lo:hi], padded, 0)),
+            jnp.asarray(_pad_to_bucket(flip[lo:hi], padded, False)),
+            jnp.asarray(_pad_to_bucket(ov[lo:hi], padded, 0)),
+            kmer_size=config.kmer_size,
+        )
+        parts.append(_compact(out))
+        lo = hi
+    return CandidatePairs.concatenate(parts)

@@ -35,6 +35,8 @@ class PipelineResult:
 def run_pipeline(
     reads: ReadSet, config: BellaConfig, output: Optional[str] = None
 ) -> PipelineResult:
+    if output is not None:
+        log("outputFile", output)
     if config.estimate_err and reads.err_bases:
         config.error_rate = reads.estimated_error_rate
         log("errorRate (estimated)", f"{config.error_rate:.6f}")
@@ -60,9 +62,15 @@ def run_pipeline(
     log("candidatePairs", pairs.num_pairs)
 
     aln = None
+    num_output = 0
+    rows: List[str] = []
     if config.skip_alignment:
         with phase("outputting"):
-            rows = writers.overlap_only_rows(pairs, reads)
+            num_output = pairs.num_pairs
+            if output is not None and writers.write_overlap_native(output, reads, pairs):
+                output = None  # written natively
+            else:
+                rows = writers.overlap_only_rows(pairs, reads)
     else:
         with phase("alignment"):
             padded, lens = pad_reads(reads)
@@ -76,7 +84,7 @@ def run_pipeline(
         log("outputted", int(passed.sum()))
         with phase("outputting"):
             idx = np.flatnonzero(passed)
-            row_fn = writers.paf_rows if config.output_paf else writers.m4_rows
+            num_output = len(idx)
             if config.output_paf:
                 rows = writers.paf_rows(
                     reads,
@@ -84,6 +92,13 @@ def run_pipeline(
                     aln.score[idx], dec["overlap"][idx], aln.strand_rc[idx],
                     aln.beg_v[idx], aln.end_v[idx], aln.beg_h[idx], aln.end_h[idx],
                 )
+            elif output is not None and writers.write_m4_native(
+                output, reads,
+                pairs.read_h[idx], pairs.read_v[idx], pairs.count[idx],
+                aln.score[idx], dec["overlap"][idx], aln.strand_rc[idx],
+                aln.beg_v[idx], aln.end_v[idx], aln.beg_h[idx], aln.end_h[idx],
+            ):
+                output = None  # written natively
             else:
                 rows = writers.m4_rows(
                     reads,
@@ -94,7 +109,6 @@ def run_pipeline(
 
     if output is not None:
         writers.write_rows(output, rows)
-        log("outputFile", output)
 
     return PipelineResult(
         reads=reads,
@@ -102,7 +116,7 @@ def run_pipeline(
         nnz=tri.nnz,
         pairs=pairs,
         rows=rows,
-        num_output=len(rows),
+        num_output=num_output,
         alignment=aln,
     )
 

@@ -1,0 +1,60 @@
+"""Native C parser must agree with the numpy parser exactly."""
+
+import numpy as np
+import pytest
+
+from bella_tpu.io.fastq import ReadSet, parse_fastq
+from bella_tpu.io.simulate import random_genome, sample_reads, write_fastq
+from bella_tpu.native import get_lib, parse_fastq_native
+
+
+@pytest.fixture(scope="module")
+def fastq_file(tmp_path_factory):
+    td = tmp_path_factory.mktemp("native")
+    g = random_genome(5000, seed=21)
+    reads, _ = sample_reads(g, 25, mean_len=600, min_len=200, error_rate=0.1, seed=22)
+    p = td / "sim.fastq"
+    write_fastq(str(p), reads, qual_char="5")
+    return str(p)
+
+
+def test_native_builds():
+    assert get_lib() is not None, "g++ build of native parser failed"
+
+
+def test_native_matches_numpy(fastq_file):
+    native = parse_fastq_native(fastq_file)
+    assert native is not None
+    names, codes, offsets, err_sum, err_bases = native
+
+    # numpy reference path (bypass native preference)
+    import bella_tpu.io.fastq as fq
+    import bella_tpu.native as nat
+
+    saved = nat.parse_fastq_native
+    nat.parse_fastq_native = lambda p: None
+    try:
+        ref = fq.parse_fastq(fastq_file)
+    finally:
+        nat.parse_fastq_native = saved
+
+    assert names == ref.names
+    assert np.array_equal(codes, ref.codes)
+    assert np.array_equal(offsets, ref.offsets)
+    assert err_bases == ref.err_bases
+    assert abs(err_sum - ref.err_sum) < 1e-6 * max(ref.err_sum, 1)
+
+
+def test_native_truncated_record(tmp_path):
+    p = tmp_path / "t.fastq"
+    p.write_text("@r1\nACGT\n+\nIIII\n@r2\nACGTACGT\n")
+    rs = parse_fastq(str(p))
+    assert rs.num_reads == 1 and rs.names == ["r1"]
+
+
+def test_native_no_trailing_newline(tmp_path):
+    p = tmp_path / "t.fastq"
+    p.write_text("@r1\nACGT\n+\nIIII")
+    rs = parse_fastq(str(p))
+    assert rs.num_reads == 1
+    assert rs.sequence(0) == "ACGT"

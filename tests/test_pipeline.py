@@ -48,7 +48,7 @@ def test_full_pipeline_m4(sim, tmp_path):
     assert m.precision > 85.0, m
     # alignment must improve precision over overlap-only
     # and every row must be well-formed M4
-    row = res.rows[0].rstrip("\n").split("\t")
+    row = open(out).readline().rstrip("\n").split("\t")
     assert len(row) == 12
     assert row[5] in ("n", "c")
 

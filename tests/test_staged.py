@@ -1,0 +1,44 @@
+"""Staged (memory-bounded) pair generation must match single-stage."""
+
+import dataclasses
+
+import numpy as np
+
+from bella_tpu import BellaConfig
+from bella_tpu.io.simulate import random_genome, sample_reads
+from bella_tpu.kmers import build_reliable_triples, extract_occurrences
+from bella_tpu.overlap import generate_candidates
+
+
+def _as_map(p):
+    return {
+        (int(p.read_h[i]), int(p.read_v[i])): (
+            int(p.count[i]), int(p.matches[i]), int(p.overlap_est[i]),
+            int(p.pos_h[i]), int(p.pos_v[i]), bool(p.seed_rc[i]),
+        )
+        for i in range(p.num_pairs)
+    }
+
+
+def test_staged_matches_single_stage():
+    g = random_genome(8000, seed=13)
+    reads, _ = sample_reads(
+        g, 30, mean_len=1200, min_len=500, error_rate=0.1, seed=14, circular=False
+    )
+    cfg = BellaConfig()
+    tri = build_reliable_triples(reads, cfg, extract_occurrences(reads, cfg))
+    single = generate_candidates(tri, reads.lengths, cfg)
+
+    # force staging with a tiny memory budget (but keep the 1<<20 floor
+    # from kicking in by checking stage count indirectly via equality)
+    from bella_tpu.overlap import pairs as pairs_mod
+
+    tiny = dataclasses.replace(cfg, total_memory_mb=0.001)
+    staged = pairs_mod._generate_candidates_staged(
+        tri, np.asarray(reads.lengths, np.int32), tiny,
+        budget_rows=4096 * (cfg.upper_freq - 1),
+    )
+    ms, mm = _as_map(single), _as_map(staged)
+    assert set(ms) == set(mm)
+    for k in ms:
+        assert ms[k] == mm[k], (k, ms[k], mm[k])
