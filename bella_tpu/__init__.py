@@ -17,9 +17,22 @@ The library uses 64-bit integers for packed k-mers (k <= 32, 2 bits/base,
 reference kmercode/Kmer.hpp:30-132), so x64 mode is enabled at import.
 """
 
+import os as _os
+
 import jax
 
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: compiles on this environment's tunneled
+# TPU take minutes, so cache aggressively across processes.
+_cache_dir = _os.environ.get(
+    "JAX_COMPILATION_CACHE_DIR", _os.path.expanduser("~/.cache/jax_bella")
+)
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # older jax without these flags
+    pass
 
 from bella_tpu.config import BellaConfig  # noqa: E402
 

@@ -229,17 +229,35 @@ def _gather_suffix(S, start, length, L):
 
 @partial(jax.jit, static_argnames=("band", "kmer_size"))
 def _seed_extend_batch(
-    H, len_h, V, len_v, seed_h, seed_v, xdrop, kmer_size: int, band: int
+    reads_dev, lens_dev, bh, bv, ph_raw, pv, rc, xdrop,
+    kmer_size: int, band: int,
 ):
-    """Both-direction extension of one seed per pair.
+    """Both-direction extension of one seed per pair, fused with the
+    sequence gathers and strand correction (one dispatch per batch).
 
-    H is already strand-corrected (reverse-complemented where needed)
-    and seed_h is in the corrected frame. Left extension spans the seed
-    (reversed prefixes up to seed end), right extension the suffixes
-    after the seed — mirroring XavierXDrop's EXTEND_BOTH composition
-    (xavier/xavier.h:326-372)."""
+    Strand handling follows xavierAlign (include/align.hpp:152-202): if
+    the seed's forward strings disagree (rc), the H read is
+    reverse-complemented and the seed H coordinate flipped. Left
+    extension spans the seed (reversed prefixes up to seed end), right
+    extension the suffixes after the seed — mirroring XavierXDrop's
+    EXTEND_BOTH composition (xavier/xavier.h:326-372)."""
     k = kmer_size
-    B, L = H.shape
+    h_seq = reads_dev[bh]
+    V = reads_dev[bv]
+    len_h = lens_dev[bh]
+    len_v = lens_dev[bv]
+    B, L = h_seq.shape
+    Lmax = L
+
+    idx = len_h[:, None] - 1 - jnp.arange(Lmax, dtype=jnp.int32)[None, :]
+    rc_seq = jnp.where(
+        idx >= 0,
+        jnp.take_along_axis(h_seq, jnp.clip(idx, 0, Lmax - 1), axis=1) ^ 3,
+        PAD_CHAR,
+    )
+    H = jnp.where(rc[:, None], rc_seq, h_seq)
+    seed_h = jnp.where(rc, len_h - ph_raw - k, ph_raw)
+    seed_v = pv
     seed_end_h = seed_h + k
     seed_end_v = seed_v + k
 
@@ -283,6 +301,12 @@ def align_candidates(
         return AlignmentResult(z, z, z, z, z, np.zeros(0, bool))
     if batch_size <= 0:
         batch_size = config.align_batch
+    # bucket to the next power of two >= P (capped) so small runs don't
+    # pad to the full batch while big runs reuse one compiled shape
+    bucket = 64
+    while bucket < min(P, batch_size):
+        bucket *= 2
+    batch_size = min(batch_size, bucket)
     R, Lmax = reads_padded.shape
     k = config.kmer_size
     reads_dev = jnp.asarray(reads_padded)
@@ -301,34 +325,30 @@ def align_candidates(
 
     for s in range(0, P, batch_size):
         sel = order[s : s + batch_size]
-        bh = jnp.asarray(pairs.read_h[sel])
-        bv = jnp.asarray(pairs.read_v[sel])
-        h_seq = reads_dev[bh]
-        v_seq = reads_dev[bv]
-        lh = lens_dev[bh]
-        lv = lens_dev[bv]
-        ph = jnp.asarray(pairs.pos_h[sel].astype(np.int32))
-        pv = jnp.asarray(pairs.pos_v[sel].astype(np.int32))
-        rc = jnp.asarray(pairs.seed_rc[sel])
-
-        # strand correction: reverse-complement H rows where needed
-        idx = (lh[:, None] - 1 - jnp.arange(Lmax, dtype=jnp.int32)[None, :])
-        rc_seq = jnp.where(
-            idx >= 0,
-            jnp.take_along_axis(h_seq, jnp.clip(idx, 0, Lmax - 1), axis=1) ^ 3,
-            PAD_CHAR,
-        )
-        h_seq = jnp.where(rc[:, None], rc_seq, h_seq)
-        ph = jnp.where(rc, lh - ph - k, ph)
-
+        if len(sel) < batch_size:
+            # pad the tail batch to keep one compiled shape (compiles
+            # are minutes on tunneled TPU runtimes)
+            sel_valid = len(sel)
+            sel = np.concatenate(
+                [sel, np.zeros(batch_size - len(sel), dtype=sel.dtype)]
+            )
+        else:
+            sel_valid = batch_size
         out = _seed_extend_batch(
-            h_seq, lh, v_seq, lv, ph, pv, int(config.xdrop), k, config.band_width
+            reads_dev, lens_dev,
+            jnp.asarray(pairs.read_h[sel]),
+            jnp.asarray(pairs.read_v[sel]),
+            jnp.asarray(pairs.pos_h[sel].astype(np.int32)),
+            jnp.asarray(pairs.pos_v[sel].astype(np.int32)),
+            jnp.asarray(pairs.seed_rc[sel]),
+            int(config.xdrop), k, config.band_width,
         )
-        score[sel] = np.asarray(out["score"])
-        beg_h[sel] = np.asarray(out["beg_h"])
-        end_h[sel] = np.asarray(out["end_h"])
-        beg_v[sel] = np.asarray(out["beg_v"])
-        end_v[sel] = np.asarray(out["end_v"])
+        sel = sel[:sel_valid]
+        score[sel] = np.asarray(out["score"])[:sel_valid]
+        beg_h[sel] = np.asarray(out["beg_h"])[:sel_valid]
+        end_h[sel] = np.asarray(out["end_h"])[:sel_valid]
+        beg_v[sel] = np.asarray(out["beg_v"])[:sel_valid]
+        end_v[sel] = np.asarray(out["end_v"])[:sel_valid]
 
     return AlignmentResult(score, beg_h, end_h, beg_v, end_v, pairs.seed_rc.copy())
 

@@ -71,19 +71,20 @@ def _apply_errors(frag: np.ndarray, error_rate: float, rng) -> np.ndarray:
     sub = r < error_rate / 3
     ins = (r >= error_rate / 3) & (r < 2 * error_rate / 3)
     dele = (r >= 2 * error_rate / 3) & (r < error_rate)
-    out = frag.copy()
+    base = frag.copy()
     # substitutions: add 1..3 mod 4 so the base always changes
-    out[sub] = (out[sub] + rng.integers(1, 4, size=int(sub.sum()))) % 4
-    keep = ~dele
-    pieces = []
-    ins_pos = np.flatnonzero(ins)
-    prev = 0
-    for p in ins_pos:
-        pieces.append(out[prev : p + 1][keep[prev : p + 1]])
-        pieces.append(rng.integers(0, 4, size=1).astype(np.uint8))
-        prev = p + 1
-    pieces.append(out[prev:][keep[prev:]])
-    return np.concatenate(pieces).astype(np.uint8)
+    base[sub] = (base[sub] + rng.integers(1, 4, size=int(sub.sum()))) % 4
+    # vectorized splice: each input base emits 0 (del), 1 (keep), or
+    # 2 (inserted random + base) output symbols
+    emit = (1 - dele.astype(np.int64)) + ins.astype(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(emit)])
+    total = int(offsets[-1])
+    out = np.zeros(total, dtype=np.uint8)
+    kept = emit >= 1
+    out[offsets[:-1][kept] + emit[kept] - 1] = base[kept]  # base goes last
+    has_ins = emit == 2
+    out[offsets[:-1][has_ins]] = rng.integers(0, 4, size=int(has_ins.sum()))
+    return out
 
 
 def write_fastq(path: str, reads: ReadSet, qual_char: str = "I") -> None:

@@ -234,6 +234,115 @@ def _compact(out) -> CandidatePairs:
     )
 
 
+@partial(
+    jax.jit,
+    static_argnames=("kmer_size", "lower", "upper", "bin_size", "use_hopc"),
+)
+def _fused_overlap(
+    codes, rid, pos, valid, read_lengths,
+    kmer_size: int, lower: int, upper: int, bin_size: int, use_hopc: bool,
+):
+    """Single-dispatch overlap detection: codes -> chained pair stream.
+
+    Fuses k-mer packing + canonicalisation + exact counting + reliable
+    filtering + pair emission + chaining into ONE compiled program, so
+    the host<->device boundary is crossed exactly twice. (On tunneled
+    TPU runtimes every dispatch costs milliseconds; the modular path
+    exists for staging/sharding and remains the semantic reference.)
+    """
+    from bella_tpu.seq.encode import canonical_kmers, hopc_kmers, pack_kmers
+
+    k = kmer_size
+    if use_hopc:
+        canon, _len = hopc_kmers(codes, k)
+        is_rc = jnp.zeros_like(valid)
+    else:
+        packed = pack_kmers(codes, k)
+        canon, is_rc = canonical_kmers(packed, k)
+    canon = jnp.where(valid, canon, jnp.asarray(PAIR_SENTINEL))
+    is_rc = is_rc & valid
+
+    order = jnp.argsort(canon)
+    sk = canon[order]
+    sr = rid[order]
+    sp = pos[order]
+    sc = is_rc[order]
+
+    kb = seg.boundaries(sk)
+    counts = seg.seg_count(kb)
+    reliable = (counts >= lower) & (counts <= upper) & (sk != jnp.asarray(PAIR_SENTINEL))
+    nnz = jnp.sum(reliable)
+    num_kmers = jnp.sum(kb & reliable)
+    sk = jnp.where(reliable, sk, jnp.asarray(PAIR_SENTINEL))
+
+    # emission can reuse the generic slices: treat the canonical k-mer
+    # value itself as the segment id (sentinel rows never pair because
+    # their rank check fails against live rows and sentinel-vs-sentinel
+    # pairs produce PAIR_SENTINEL keys via the valid mask below)
+    rank = seg.seg_rank(kb)
+    live = sk != jnp.asarray(PAIR_SENTINEL)
+    keys, phs, pvs, rchs, rcvs = [], [], [], [], []
+    for d in range(1, upper):
+        ra, rb = sr[d:], sr[:-d]
+        pa, pb = sp[d:], sp[:-d]
+        ca, cb = sc[d:], sc[:-d]
+        ok = (rank[d:] >= d) & (ra != rb) & live[d:] & live[:-d]
+        h_is_a = ra > rb
+        h = jnp.where(h_is_a, ra, rb)
+        v = jnp.where(h_is_a, rb, ra)
+        key = (h.astype(_U64) << _U64(32)) | v.astype(_U64)
+        keys.append(jnp.where(ok, key, jnp.asarray(PAIR_SENTINEL)))
+        phs.append(jnp.where(h_is_a, pa, pb))
+        pvs.append(jnp.where(h_is_a, pb, pa))
+        rchs.append(jnp.where(h_is_a, ca, cb))
+        rcvs.append(jnp.where(h_is_a, cb, ca))
+    key = jnp.concatenate(keys)
+    pos_h = jnp.concatenate(phs).astype(jnp.int32)
+    pos_v = jnp.concatenate(pvs).astype(jnp.int32)
+    rc_h = jnp.concatenate(rchs)
+    rc_v = jnp.concatenate(rcvs)
+
+    flip, ov = _multiop(key, pos_h, pos_v, rc_h, rc_v, read_lengths, k)
+    bin_id = (ov // bin_size).astype(jnp.int32)
+    key, bin_id, pos_h, pos_v, flip, ov = jax.lax.sort(
+        (key, bin_id, pos_h, pos_v, flip, ov), num_keys=3
+    )
+    out = _chain_sorted(key, bin_id, pos_h, pos_v, flip, ov, k)
+    out["nnz"] = nnz
+    out["num_kmers"] = num_kmers
+    return out
+
+
+def detect_overlaps(reads, config: BellaConfig):
+    """Fused end-to-end overlap detection for the common configuration
+    (plain k-mers or HOPC, single split). Returns
+    (CandidatePairs, num_kmers, nnz)."""
+    k = config.kmer_size
+    m = len(reads.codes) - k + 1
+    if m <= 0:
+        return CandidatePairs.empty(), 0, 0
+    rid_per_base = np.repeat(
+        np.arange(reads.num_reads, dtype=np.int32), reads.lengths
+    )
+    rid = rid_per_base[:m]
+    valid = rid == rid_per_base[k - 1 :]
+    pos = np.arange(m, dtype=np.int64) - reads.offsets[:-1][rid]
+    out = _fused_overlap(
+        jnp.asarray(reads.codes),
+        jnp.asarray(rid),
+        jnp.asarray(pos.astype(np.int32)),
+        jnp.asarray(valid),
+        jnp.asarray(reads.lengths.astype(np.int32)),
+        kmer_size=k,
+        lower=config.lower_freq,
+        upper=config.upper_freq,
+        bin_size=config.bin_size,
+        use_hopc=config.use_hopc,
+    )
+    pairs = _compact(out)
+    return pairs, int(out["num_kmers"]), int(out["nnz"])
+
+
 def generate_candidates(
     triples: ReliableTriples, read_lengths: np.ndarray, config: BellaConfig
 ) -> CandidatePairs:

@@ -41,25 +41,51 @@ def run_pipeline(
         config.error_rate = reads.estimated_error_rate
         log("errorRate (estimated)", f"{config.error_rate:.6f}")
 
-    with phase("kmerCounting"):
-        occ = extract_occurrences(reads, config)
-        if config.use_minimizer or config.use_syncmer:
-            from bella_tpu.kmers.select import select_occurrences
+    # fused single-dispatch path for the common configuration; the
+    # modular path handles sparse selection, split-count staging, and
+    # memory-staged emission
+    expanded = (len(reads.codes) - config.kmer_size + 1) * (config.upper_freq - 1)
+    budget_rows = int(config.total_memory_mb * 1e6 / 50)
+    fused = (
+        not (config.use_minimizer or config.use_syncmer)
+        and config.split_count == 1
+        and expanded <= budget_rows
+        and reads.num_reads > 0
+    )
+    if fused:
+        from bella_tpu.overlap.pairs import detect_overlaps
 
-            occ = select_occurrences(occ, reads, config)
-        tri = build_reliable_triples(reads, config, occ)
-    log("numReliableKmers", tri.num_kmers)
-    log("nnzA", tri.nnz)
-    if tri.num_kmers == 0:
-        # reference exits with a diagnostic (include/kmercount.hpp:662-667)
-        raise RuntimeError(
-            "0 reliable k-mers: all frequencies outside "
-            f"[{config.lower_freq}, {config.upper_freq}]; reduce k or bounds"
-        )
+        with phase("overlapDetection"):
+            pairs, num_kmers, nnz = detect_overlaps(reads, config)
+        log("numReliableKmers", num_kmers)
+        log("nnzA", nnz)
+        log("candidatePairs", pairs.num_pairs)
+        if num_kmers == 0:
+            raise RuntimeError(
+                "0 reliable k-mers: all frequencies outside "
+                f"[{config.lower_freq}, {config.upper_freq}]; reduce k or bounds"
+            )
+        tri_num_kmers, tri_nnz = num_kmers, nnz
+    else:
+        with phase("kmerCounting"):
+            occ = extract_occurrences(reads, config)
+            if config.use_minimizer or config.use_syncmer:
+                from bella_tpu.kmers.select import select_occurrences
 
-    with phase("overlapDetection"):
-        pairs = generate_candidates(tri, reads.lengths, config)
-    log("candidatePairs", pairs.num_pairs)
+                occ = select_occurrences(occ, reads, config)
+            tri = build_reliable_triples(reads, config, occ)
+        log("numReliableKmers", tri.num_kmers)
+        log("nnzA", tri.nnz)
+        if tri.num_kmers == 0:
+            # reference exits with a diagnostic (include/kmercount.hpp:662-667)
+            raise RuntimeError(
+                "0 reliable k-mers: all frequencies outside "
+                f"[{config.lower_freq}, {config.upper_freq}]; reduce k or bounds"
+            )
+        with phase("overlapDetection"):
+            pairs = generate_candidates(tri, reads.lengths, config)
+        log("candidatePairs", pairs.num_pairs)
+        tri_num_kmers, tri_nnz = tri.num_kmers, tri.nnz
 
     aln = None
     num_output = 0
@@ -112,8 +138,8 @@ def run_pipeline(
 
     return PipelineResult(
         reads=reads,
-        num_kmers=tri.num_kmers,
-        nnz=tri.nnz,
+        num_kmers=tri_num_kmers,
+        nnz=tri_nnz,
         pairs=pairs,
         rows=rows,
         num_output=num_output,

@@ -27,8 +27,7 @@ def main():
     t_setup = time.time()
     from bella_tpu import BellaConfig
     from bella_tpu.io.simulate import random_genome, sample_reads
-    from bella_tpu.kmers import build_reliable_triples, extract_occurrences
-    from bella_tpu.overlap import generate_candidates
+    from bella_tpu.overlap.pairs import detect_overlaps
 
     cfg = BellaConfig()
     g = random_genome(GENOME, seed=0)
@@ -44,24 +43,21 @@ def main():
     )
 
     def run_once():
-        occ = extract_occurrences(reads, cfg)
-        tri = build_reliable_triples(reads, cfg, occ)
-        pairs = generate_candidates(tri, reads.lengths, cfg)
-        return tri, pairs
+        return detect_overlaps(reads, cfg)
 
     # warmup (compile)
     t0 = time.time()
-    tri, pairs = run_once()
+    pairs, num_kmers, nnz = run_once()
     warm = time.time() - t0
     # timed
     t0 = time.time()
-    tri, pairs = run_once()
+    pairs, num_kmers, nnz = run_once()
     dt = time.time() - t0
 
     bases_per_s = total_bases / dt
-    expanded = tri.nnz * (cfg.upper_freq - 1)  # SpGEMM expansion rows
+    expanded = nnz * (cfg.upper_freq - 1)  # SpGEMM expansion rows
     print(
-        f"bench: warm={warm:.2f}s run={dt:.2f}s nnzA={tri.nnz} "
+        f"bench: warm={warm:.2f}s run={dt:.2f}s nnzA={nnz} "
         f"pairs={pairs.num_pairs} expanded={expanded} "
         f"({expanded/dt/1e6:.1f} Mrows/s)",
         file=sys.stderr,

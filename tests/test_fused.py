@@ -1,0 +1,44 @@
+"""Fused single-dispatch overlap detection must match the modular path."""
+
+import numpy as np
+
+from bella_tpu import BellaConfig
+from bella_tpu.io.simulate import random_genome, sample_reads
+from bella_tpu.kmers import build_reliable_triples, extract_occurrences
+from bella_tpu.overlap import generate_candidates
+from bella_tpu.overlap.pairs import detect_overlaps
+
+
+def _as_map(p):
+    return {
+        (int(p.read_h[i]), int(p.read_v[i])): (
+            int(p.count[i]), int(p.matches[i]), int(p.overlap_est[i]),
+            int(p.pos_h[i]), int(p.pos_v[i]), bool(p.seed_rc[i]),
+        )
+        for i in range(p.num_pairs)
+    }
+
+
+def test_fused_matches_modular():
+    g = random_genome(9000, seed=31)
+    reads, _ = sample_reads(
+        g, 35, mean_len=1200, min_len=500, error_rate=0.12, seed=32, circular=False
+    )
+    cfg = BellaConfig()
+    tri = build_reliable_triples(reads, cfg, extract_occurrences(reads, cfg))
+    modular = generate_candidates(tri, reads.lengths, cfg)
+    fused, num_kmers, nnz = detect_overlaps(reads, cfg)
+    assert num_kmers == tri.num_kmers
+    assert nnz == tri.nnz
+    mm, mf = _as_map(modular), _as_map(fused)
+    assert set(mm) == set(mf)
+    for k in mm:
+        assert mm[k] == mf[k], (k, mm[k], mf[k])
+
+
+def test_fused_hopc_runs():
+    g = random_genome(4000, seed=33)
+    reads, _ = sample_reads(g, 15, mean_len=800, min_len=400, error_rate=0.05, seed=34)
+    cfg = BellaConfig(use_hopc=True)
+    pairs, num_kmers, nnz = detect_overlaps(reads, cfg)
+    assert num_kmers > 0 and nnz > 0
