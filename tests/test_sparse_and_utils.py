@@ -100,3 +100,31 @@ def test_markov_expected_overlap():
     e15 = expected_steps_to_shared_kmer(17, 0.15)
     assert e15 > 100
     assert min_overlap_for_detection(17, 0.15) > e15
+
+
+def test_device_spgemm_matches_oracle():
+    rng = np.random.default_rng(7)
+    from bella_tpu.sparse.spgemm import spgemm
+
+    a = csc_from_triples(
+        rng.integers(0, 40, 300), rng.integers(0, 30, 300),
+        rng.integers(1, 5, 300).astype(float), 40, 30,
+        merge=lambda x, y: x + y,
+    )
+    b = csc_from_triples(
+        rng.integers(0, 30, 250), rng.integers(0, 35, 250),
+        rng.integers(1, 5, 250).astype(float), 30, 35,
+        merge=lambda x, y: x + y,
+    )
+    c = spgemm(a, b)
+    assert np.allclose(c.to_dense(), a.to_dense() @ b.to_dense())
+
+
+def test_device_spgemm_rmat():
+    from bella_tpu.sparse.spgemm import spgemm
+
+    r, c = rmat_triples(scale=6, edge_factor=4, seed=9)
+    n = 64
+    a = csc_from_triples(r, c, np.ones(len(r)), n, n, merge=lambda x, y: x + y)
+    got = spgemm(a, a)
+    assert np.allclose(got.to_dense(), a.to_dense() @ a.to_dense())
