@@ -43,6 +43,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="derive frequency bounds from coverage via the binomial model")
     ap.add_argument("--coverage", type=int, default=0, help="dataset coverage for --auto-bounds")
     ap.add_argument("--band-width", type=int, default=128, help="aligner band width")
+    ap.add_argument("--write-matrix", metavar="MTX",
+                    help="dump the reads x reliable-kmers matrix (MatrixMarket)")
+    ap.add_argument("--checkpoint", metavar="NPZ",
+                    help="save/resume the reliable-triples phase checkpoint")
+    ap.add_argument("--profile", metavar="DIR", help="write a jax.profiler trace")
     return ap
 
 
@@ -71,6 +76,9 @@ def main(argv=None) -> int:
         lower_freq=args.lower_freq,
         fixed_threshold=args.fixed_threshold,
         band_width=args.band_width,
+        write_matrix=args.write_matrix,
+        checkpoint=args.checkpoint,
+        profile_dir=args.profile,
     )
     if args.auto_bounds:
         if not args.coverage:

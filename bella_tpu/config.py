@@ -44,6 +44,9 @@ class BellaConfig:
                                    # (ref is unbounded vectors; overflow is counted)
     max_steps: Optional[int] = None  # wavefront step cap; None = len-derived
     seed: int = 0                  # PRNG seed for synthetic generators
+    write_matrix: Optional[str] = None  # dump reads x kmers matrix (bellaio)
+    checkpoint: Optional[str] = None    # save/resume reliable triples (npz)
+    profile_dir: Optional[str] = None   # jax.profiler trace directory
 
     def __post_init__(self):
         if self.kmer_size < 1 or self.kmer_size > 32:

@@ -234,22 +234,20 @@ def _compact(out) -> CandidatePairs:
     )
 
 
-@partial(
-    jax.jit,
-    static_argnames=("kmer_size", "lower", "upper", "bin_size", "use_hopc"),
-)
-def _fused_overlap(
-    codes, rid, pos, valid, read_lengths,
-    kmer_size: int, lower: int, upper: int, bin_size: int, use_hopc: bool,
-):
-    """Single-dispatch overlap detection: codes -> chained pair stream.
+_SENT32 = np.int32(0x7FFFFFFF)
 
-    Fuses k-mer packing + canonicalisation + exact counting + reliable
-    filtering + pair emission + chaining into ONE compiled program, so
-    the host<->device boundary is crossed exactly twice. (On tunneled
-    TPU runtimes every dispatch costs milliseconds; the modular path
-    exists for staging/sharding and remains the semantic reference.)
-    """
+
+@partial(jax.jit, static_argnames=("kmer_size", "lower", "upper", "use_hopc"))
+def _fused_count(
+    codes, rid, pos, valid,
+    kmer_size: int, lower: int, upper: int, use_hopc: bool,
+):
+    """Phase 1: pack + canonicalise + sort + exact count + reliable
+    filter. Output stays on device for phase 2.
+
+    The sort keys are the canonical k-mer split into two uint32 halves:
+    64-bit integers are software-emulated on TPU, so keeping the sort
+    comparator in 32-bit land roughly halves its cost."""
     from bella_tpu.seq.encode import canonical_kmers, hopc_kmers, pack_kmers
 
     k = kmer_size
@@ -261,27 +259,34 @@ def _fused_overlap(
         canon, is_rc = canonical_kmers(packed, k)
     canon = jnp.where(valid, canon, jnp.asarray(PAIR_SENTINEL))
     is_rc = is_rc & valid
+    khi = (canon >> _U64(32)).astype(jnp.uint32)
+    klo = canon.astype(jnp.uint32)
 
-    order = jnp.argsort(canon)
-    sk = canon[order]
-    sr = rid[order]
-    sp = pos[order]
-    sc = is_rc[order]
-
-    kb = seg.boundaries(sk)
+    khi, klo, sr, sp, sc = jax.lax.sort(
+        (khi, klo, rid, pos, is_rc), num_keys=2
+    )
+    kb = seg.boundaries2(khi, klo)
     counts = seg.seg_count(kb)
-    reliable = (counts >= lower) & (counts <= upper) & (sk != jnp.asarray(PAIR_SENTINEL))
+    is_sentinel = (khi == jnp.uint32(0xFFFFFFFF)) & (klo == jnp.uint32(0xFFFFFFFF))
+    reliable = (counts >= lower) & (counts <= upper) & (~is_sentinel)
     nnz = jnp.sum(reliable)
     num_kmers = jnp.sum(kb & reliable)
-    sk = jnp.where(reliable, sk, jnp.asarray(PAIR_SENTINEL))
-
-    # emission can reuse the generic slices: treat the canonical k-mer
-    # value itself as the segment id (sentinel rows never pair because
-    # their rank check fails against live rows and sentinel-vs-sentinel
-    # pairs produce PAIR_SENTINEL keys via the valid mask below)
     rank = seg.seg_rank(kb)
-    live = sk != jnp.asarray(PAIR_SENTINEL)
-    keys, phs, pvs, rchs, rcvs = [], [], [], [], []
+    return reliable, sr, sp, sc, rank, nnz, num_kmers
+
+
+@partial(jax.jit, static_argnames=("kmer_size", "upper", "bin_size"))
+def _fused_emit(
+    live, sr, sp, sc, rank, read_lengths,
+    kmer_size: int, upper: int, bin_size: int,
+):
+    """Phase 2: pair emission + multiop over the counted stream.
+
+    Non-reliable / padding rows never pair: reliability is a per-segment
+    property, so segments are wholly live or wholly dead. Pair keys are
+    (h, v) int32 pairs (no packed uint64)."""
+    k = kmer_size
+    hs, vs, phs, pvs, fls = [], [], [], [], []
     for d in range(1, upper):
         ra, rb = sr[d:], sr[:-d]
         pa, pb = sp[d:], sp[:-d]
@@ -290,33 +295,68 @@ def _fused_overlap(
         h_is_a = ra > rb
         h = jnp.where(h_is_a, ra, rb)
         v = jnp.where(h_is_a, rb, ra)
-        key = (h.astype(_U64) << _U64(32)) | v.astype(_U64)
-        keys.append(jnp.where(ok, key, jnp.asarray(PAIR_SENTINEL)))
+        hs.append(jnp.where(ok, h, _SENT32))
+        vs.append(jnp.where(ok, v, _SENT32))
         phs.append(jnp.where(h_is_a, pa, pb))
         pvs.append(jnp.where(h_is_a, pb, pa))
-        rchs.append(jnp.where(h_is_a, ca, cb))
-        rcvs.append(jnp.where(h_is_a, cb, ca))
-    key = jnp.concatenate(keys)
+        fls.append(jnp.where(h_is_a, ca, cb) != jnp.where(h_is_a, cb, ca))
+    h = jnp.concatenate(hs)
+    v = jnp.concatenate(vs)
     pos_h = jnp.concatenate(phs).astype(jnp.int32)
     pos_v = jnp.concatenate(pvs).astype(jnp.int32)
-    rc_h = jnp.concatenate(rchs)
-    rc_v = jnp.concatenate(rcvs)
+    flip = jnp.concatenate(fls)
 
-    flip, ov = _multiop(key, pos_h, pos_v, rc_h, rc_v, read_lengths, k)
+    len_h = read_lengths[jnp.clip(h, 0, read_lengths.shape[0] - 1)]
+    len_v = read_lengths[jnp.clip(v, 0, read_lengths.shape[0] - 1)]
+    beg_h = jnp.where(flip, len_h - pos_h - k, pos_h)
+    ov = (
+        jnp.minimum(beg_h, pos_v)
+        + jnp.minimum(len_h - (beg_h + k), len_v - (pos_v + k))
+        + k
+    ).astype(jnp.int32)
     bin_id = (ov // bin_size).astype(jnp.int32)
-    key, bin_id, pos_h, pos_v, flip, ov = jax.lax.sort(
-        (key, bin_id, pos_h, pos_v, flip, ov), num_keys=3
+    return h, v, bin_id, pos_h, pos_v, flip, ov
+
+
+@partial(jax.jit, static_argnames=("kmer_size",))
+def _chain_stage32(h, v, bin_id, pos_h, pos_v, flip, ov, kmer_size: int):
+    """Phase 3: (h, v, bin, posH) 4-key int32 sort + segmented chain."""
+    k = kmer_size
+    h, v, bin_id, pos_h, pos_v, flip, ov = jax.lax.sort(
+        (h, v, bin_id, pos_h, pos_v, flip, ov), num_keys=4
     )
-    out = _chain_sorted(key, bin_id, pos_h, pos_v, flip, ov, k)
-    out["nnz"] = nnz
-    out["num_kmers"] = num_kmers
-    return out
+    live = h != _SENT32
+    pair_b = seg.boundaries2(h, v)
+    bin_b = seg.boundaries_many(h, v, bin_id)
+
+    bucket = pos_h // (k + 1)
+    prev_bucket = jnp.concatenate([bucket[:1], bucket[:-1]])
+    dup = (~bin_b) & (bucket == prev_bucket)
+    kept = (~dup) & live
+
+    support = seg.seg_sum(kept.astype(jnp.int32), bin_b).astype(jnp.int32)
+    count = seg.seg_sum(live.astype(jnp.int32), pair_b).astype(jnp.int32)
+    pair_start, _ = seg.seg_bounds(pair_b)
+    binidx = seg.seg_ids(bin_b)
+    bin_rank = binidx - binidx[pair_start]
+    score = support.astype(jnp.int64) * (1 << 31) + ((1 << 31) - 1 - bin_rank)
+    best = seg.seg_max(score, pair_b)
+    seed_mask = (score == best) & bin_b & live
+
+    return dict(
+        seed_mask=seed_mask, read_h=h, read_v=v, pos_h=pos_h, pos_v=pos_v,
+        count=count.astype(jnp.int32), matches=support, overlap_est=ov,
+        seed_rc=flip,
+    )
 
 
 def detect_overlaps(reads, config: BellaConfig):
-    """Fused end-to-end overlap detection for the common configuration
-    (plain k-mers or HOPC, single split). Returns
-    (CandidatePairs, num_kmers, nnz)."""
+    """Fused (3-dispatch) end-to-end overlap detection for the common
+    configuration (plain k-mers or HOPC, single split). Intermediates
+    never leave the device; split into three medium jits because one
+    monolithic program compiles pathologically slowly on the TPU
+    toolchain (each device sort costs ~15-45s of compile alone).
+    Returns (CandidatePairs, num_kmers, nnz)."""
     k = config.kmer_size
     m = len(reads.codes) - k + 1
     if m <= 0:
@@ -327,20 +367,26 @@ def detect_overlaps(reads, config: BellaConfig):
     rid = rid_per_base[:m]
     valid = rid == rid_per_base[k - 1 :]
     pos = np.arange(m, dtype=np.int64) - reads.offsets[:-1][rid]
-    out = _fused_overlap(
+    live, sr, sp, sc, rank, nnz, num_kmers = _fused_count(
         jnp.asarray(reads.codes),
         jnp.asarray(rid),
         jnp.asarray(pos.astype(np.int32)),
         jnp.asarray(valid),
-        jnp.asarray(reads.lengths.astype(np.int32)),
         kmer_size=k,
         lower=config.lower_freq,
         upper=config.upper_freq,
-        bin_size=config.bin_size,
         use_hopc=config.use_hopc,
     )
+    h, v, bin_id, pos_h, pos_v, flip, ov = _fused_emit(
+        live, sr, sp, sc, rank,
+        jnp.asarray(reads.lengths.astype(np.int32)),
+        kmer_size=k,
+        upper=config.upper_freq,
+        bin_size=config.bin_size,
+    )
+    out = _chain_stage32(h, v, bin_id, pos_h, pos_v, flip, ov, kmer_size=k)
     pairs = _compact(out)
-    return pairs, int(out["num_kmers"]), int(out["nnz"])
+    return pairs, int(num_kmers), int(nnz)
 
 
 def generate_candidates(

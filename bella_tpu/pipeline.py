@@ -41,9 +41,14 @@ def run_pipeline(
         config.error_rate = reads.estimated_error_rate
         log("errorRate (estimated)", f"{config.error_rate:.6f}")
 
+    if config.profile_dir:
+        import jax
+
+        jax.profiler.start_trace(config.profile_dir)
+
     # fused single-dispatch path for the common configuration; the
-    # modular path handles sparse selection, split-count staging, and
-    # memory-staged emission
+    # modular path handles sparse selection, split-count staging,
+    # memory-staged emission, matrix dump, and checkpoint/resume
     expanded = (len(reads.codes) - config.kmer_size + 1) * (config.upper_freq - 1)
     budget_rows = int(config.total_memory_mb * 1e6 / 50)
     fused = (
@@ -51,6 +56,8 @@ def run_pipeline(
         and config.split_count == 1
         and expanded <= budget_rows
         and reads.num_reads > 0
+        and config.write_matrix is None
+        and config.checkpoint is None
     )
     if fused:
         from bella_tpu.overlap.pairs import detect_overlaps
@@ -67,13 +74,31 @@ def run_pipeline(
             )
         tri_num_kmers, tri_nnz = num_kmers, nnz
     else:
-        with phase("kmerCounting"):
-            occ = extract_occurrences(reads, config)
-            if config.use_minimizer or config.use_syncmer:
-                from bella_tpu.kmers.select import select_occurrences
+        tri = None
+        if config.checkpoint:
+            from bella_tpu.io.matrixdump import load_checkpoint
 
-                occ = select_occurrences(occ, reads, config)
-            tri = build_reliable_triples(reads, config, occ)
+            tri = load_checkpoint(config.checkpoint)
+            if tri is not None:
+                log("resumedFromCheckpoint", config.checkpoint)
+        if tri is None:
+            with phase("kmerCounting"):
+                occ = extract_occurrences(reads, config)
+                if config.use_minimizer or config.use_syncmer:
+                    from bella_tpu.kmers.select import select_occurrences
+
+                    occ = select_occurrences(occ, reads, config)
+                tri = build_reliable_triples(reads, config, occ)
+            if config.checkpoint:
+                from bella_tpu.io.matrixdump import save_checkpoint
+
+                save_checkpoint(config.checkpoint, tri)
+                log("checkpointSaved", config.checkpoint)
+        if config.write_matrix:
+            from bella_tpu.io.matrixdump import dump_matrix_market
+
+            dump_matrix_market(config.write_matrix, tri)
+            log("matrixDumped", config.write_matrix)
         log("numReliableKmers", tri.num_kmers)
         log("nnzA", tri.nnz)
         if tri.num_kmers == 0:
@@ -135,6 +160,12 @@ def run_pipeline(
 
     if output is not None:
         writers.write_rows(output, rows)
+
+    if config.profile_dir:
+        import jax
+
+        jax.profiler.stop_trace()
+        log("profileTrace", config.profile_dir)
 
     return PipelineResult(
         reads=reads,

@@ -32,6 +32,17 @@ def boundaries2(a, b) -> jnp.ndarray:
     return jnp.concatenate([jnp.ones((1,), bool), diff])
 
 
+def boundaries_many(*keys) -> jnp.ndarray:
+    """Run starts for composite (k1, k2, ...) keys."""
+    n = keys[0].shape[0]
+    if n == 0:
+        return jnp.zeros((0,), bool)
+    diff = keys[0][1:] != keys[0][:-1]
+    for k in keys[1:]:
+        diff = diff | (k[1:] != k[:-1])
+    return jnp.concatenate([jnp.ones((1,), bool), diff])
+
+
 def seg_bounds(boundary):
     """(start_idx, end_idx) of the segment containing each element."""
     n = boundary.shape[0]
