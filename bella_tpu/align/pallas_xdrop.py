@@ -1,0 +1,244 @@
+"""Pallas TPU kernel for batched banded x-drop extension.
+
+The performance path behind ``extend_batch`` (bella_tpu/align/xdrop.py):
+the TPU-native equivalent of both Xavier's AVX2 core loop
+(xavier/xavier.h:105-183, one alignment per core, 31 int8 lanes) and
+LOGAN's CUDA kernel (loganGPU/functions.cuh:223-408, one alignment per
+thread block). TPUs have a single scalar unit per core, so the design
+goal is ZERO per-step scalar/dynamic-index work:
+
+  * one grid cell advances 8 alignments in lockstep — pairs on the
+    sublane axis, the band (W lanes) on the lane axis;
+  * the band follows a STATIC centered trajectory: the band offset
+    ``lo(d) = max(0, (d - W + 1) // 2)`` is a shared scalar function of
+    the antidiagonal index, not a per-pair adaptive quantity (the
+    reference adapts a 31-wide band toward the argmax,
+    xavier/simdutils.h:263-289; we compensate with a 4-8x wider band —
+    band cells are cheap on the VPU, per-pair scalar divergence is not);
+  * sequence characters enter the band windows strictly in order, so
+    they stream through small rolling feed buffers refilled once per
+    S-step chunk by a single dynamic lane-slice whose offset is shared
+    by all 8 pairs;
+  * x-drop termination latches per pair inside the chunk and the
+    while-loop exits when every pair in the block is dead.
+
+Scores are exact (int32, no int8 renormalisation as in
+xavier/xavier.h:152-158); the only deviation from the pure-JAX
+``extend_batch`` is the band trajectory, which can differ once the
+optimal path drifts more than W/2 off the main diagonal — with the
+default W=256 that is far beyond the diagonal drift of real long-read
+error processes (the reference ships W=31).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NINF = -(1 << 20)  # python ints: jnp scalars would be captured tracers
+PAD = 127
+
+BB = 8          # pairs per block (sublane axis)
+CHUNK = 64      # steps per feed refill / termination check
+
+
+def _lo(d, W):
+    """Band offset at antidiagonal d (shared scalar trajectory)."""
+    return jnp.maximum(jnp.int32(0), (d - W + 1) // 2)
+
+
+def _roll_l(a):
+    """out[:, p] = a[:, p+1]; last lane wraps (caller overwrites/masks).
+    pltpu.roll requires a non-negative shift: left-by-1 == right-by-(n-1)."""
+    return pltpu.roll(a, a.shape[1] - 1, 1)
+
+
+def _roll_r(a):
+    """out[:, p] = a[:, p-1]; first lane wraps."""
+    return pltpu.roll(a, 1, 1)
+
+
+def _kernel(t_ref, q_ref, tl_ref, ql_ref, score_ref, te_ref, qe_ref,
+            *, W, xdrop, match, mismatch, gap, max_chunks):
+    lane = jax.lax.broadcasted_iota(jnp.int32, (BB, W), 1)
+    t_len = tl_ref[:]  # (BB, 1) int32
+    q_len = ql_ref[:]
+
+    # --- initial state: mirrors extend_batch (xdrop.py:78-99), lo = 0 ---
+    # diag 0: D[0][0] = 0 at p=0; diag 1: the two gap cells
+    a1 = jnp.where(lane == 0, jnp.int32(0), NINF)
+    a2 = jnp.where(
+        lane == 0, jnp.where(q_len >= 1, jnp.int32(gap), NINF),
+        jnp.where(lane == 1, jnp.where(t_len >= 1, jnp.int32(gap), NINF), NINF),
+    )
+    # char windows for diag d=2: twin[p] = T[p-1], qwin[p] = Q[1-p]
+    thead = t_ref[:, :W].astype(jnp.int32)
+    twin = jnp.where(lane == 0, PAD, _roll_r(thead))
+    qhead = q_ref[:, :128].astype(jnp.int32)
+    q0 = qhead[:, 0:1]
+    q1 = qhead[:, 1:2]
+    qwin = jnp.where(lane == 0, q1, jnp.where(lane == 1, q0, PAD))
+
+    best = jnp.zeros((BB, 1), jnp.int32)
+    best_t = jnp.zeros((BB, 1), jnp.int32)
+    best_q = jnp.zeros((BB, 1), jnp.int32)
+    alive = (t_len + q_len) > 0
+
+    def step(s, st):
+        (a1, a2, twin, qwin, tfeed, qfeed, best, best_t, best_q,
+         alive, d) = st
+        lo = _lo(d, W)
+        dlt1 = lo - _lo(d - 1, W)          # lo(d) - lo(d-1)
+        dlt2 = _lo(d + 1, W) - lo          # lo(d+1) - lo(d)
+
+        sub = jnp.where(twin == qwin, jnp.int32(match), jnp.int32(mismatch))
+        # predecessors (extend_batch convention, xdrop.py:119-137) with
+        # SCALAR dlt selects instead of per-row ones. Note dlt1 here is
+        # lo(d)-lo(d-1) (= extend_batch's dlt2 applied last step) and the
+        # diag shift is dlt1 + (lo(d-1)-lo(d-2)) - 1; since lo advances at
+        # most every other step, lo(d)-lo(d-2) = dlt1 + dlt0 where at most
+        # one of them is 1: shift_d = lo(d) - lo(d-2) - 1.
+        shift_d = lo - _lo(d - 2, W) - 1
+        diag_pred = jnp.where(
+            shift_d == -1, jnp.where(lane == 0, NINF, _roll_r(a1)),
+            jnp.where(
+                shift_d == 0, a1,
+                jnp.where(lane == W - 1, NINF, _roll_l(a1)),
+            ),
+        )
+        gq_pred = jnp.where(
+            dlt1 == 1, a2, jnp.where(lane == 0, NINF, _roll_r(a2))
+        )
+        gt_pred = jnp.where(
+            dlt1 == 1, jnp.where(lane == W - 1, NINF, _roll_l(a2)), a2
+        )
+        a3 = jnp.maximum(
+            diag_pred + sub, jnp.maximum(gq_pred, gt_pred) + jnp.int32(gap)
+        )
+        i = lo + lane
+        j = d - i
+        valid = (i <= t_len) & (j >= 0) & (j <= q_len)
+        a3 = jnp.where(valid, jnp.maximum(a3, NINF), NINF)
+
+        cur = jnp.max(a3, axis=1, keepdims=True)
+        argp = jnp.min(
+            jnp.where(a3 == cur, lane, jnp.int32(W)), axis=1, keepdims=True
+        )
+        improved = alive & (cur > best)
+        best = jnp.where(improved, cur, best)
+        best_t = jnp.where(improved, lo + argp, best_t)
+        best_q = jnp.where(improved, d - (lo + argp), best_q)
+        alive = alive & (cur >= best - jnp.int32(xdrop)) & (d < t_len + q_len)
+
+        # window + feed updates for diag d+1 (consume T when the band
+        # advances, Q when it does not — strictly in sequence order)
+        adv = dlt2 == 1
+        twin_adv = jnp.where(lane == W - 1, tfeed[:, 0:1], _roll_l(twin))
+        qwin_stay = jnp.where(lane == 0, qfeed[:, 0:1], _roll_r(qwin))
+        twin = jnp.where(adv, twin_adv, twin)
+        qwin = jnp.where(adv, qwin, qwin_stay)
+        tfeed = jnp.where(adv, _roll_l(tfeed), tfeed)
+        qfeed = jnp.where(adv, qfeed, _roll_l(qfeed))
+
+        return (a2, a3, twin, qwin, tfeed, qfeed, best, best_t,
+                best_q, alive, d + 1)
+
+    def chunk(st):
+        (a1, a2, twin, qwin, best, best_t, best_q, alive, d, t_ptr,
+         q_ptr, c) = st
+        # refill both feeds: ONE shared-offset dynamic slice each
+        tfeed = t_ref[:, pl.ds(t_ptr, CHUNK)].astype(jnp.int32)
+        qfeed = q_ref[:, pl.ds(q_ptr, CHUNK)].astype(jnp.int32)
+        out = jax.lax.fori_loop(
+            0, CHUNK, step,
+            (a1, a2, twin, qwin, tfeed, qfeed, best, best_t, best_q,
+             alive, d),
+            unroll=4,
+        )
+        (a1, a2, twin, qwin, _tf, _qf, best, best_t, best_q, alive,
+         d_end) = out
+        # T chars consumed this chunk = total band advance = lo(d_end)-lo(d)
+        adv = _lo(d_end, W) - _lo(d, W)
+        t_ptr = t_ptr + adv
+        q_ptr = q_ptr + (jnp.int32(CHUNK) - adv)
+        return (a1, a2, twin, qwin, best, best_t, best_q, alive, d_end,
+                t_ptr, q_ptr, c + 1)
+
+    def cond(st):
+        return jnp.any(st[7]) & (st[11] < max_chunks)
+
+    st = (a1, a2, twin, qwin, best, best_t, best_q, alive,
+          jnp.int32(2), jnp.int32(W - 1), jnp.int32(2), jnp.int32(0))
+    st = jax.lax.while_loop(cond, chunk, st)
+    score_ref[:] = st[4]
+    te_ref[:] = st[5]
+    qe_ref[:] = st[6]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "xdrop", "band", "max_steps", "match", "mismatch", "gap", "interpret"
+    ),
+)
+def extend_batch_pallas(
+    T, t_len, Q, q_len, xdrop,
+    band: int = 256,
+    max_steps: int = 0,
+    match: int = 1,
+    mismatch: int = -1,
+    gap: int = -1,
+    interpret: bool = False,
+):
+    """Drop-in for extend_batch (same contract) on the Pallas TPU path.
+
+    T, Q: (B, L) int8 code arrays (values 0..3 valid, anything else
+    beyond the per-row lengths); t_len, q_len: (B,) int32; xdrop must be
+    a concrete python int (it is config, constant per run).
+    """
+    B, L = T.shape
+    W = max(128, -(-int(band) // 128) * 128)
+    if max_steps <= 0:
+        max_steps = 2 * L
+    max_chunks = -(-int(max_steps) // CHUNK) + 1
+
+    # pad: B to blocks of BB; L so windows/feeds never read out of range
+    # (T chars consumed <= lo(d_max) + W + CHUNK <= max_steps//2 + W + CHUNK).
+    # Sequences are widened to int32: (8, L) int8 tiles are below the
+    # native int8 sublane count (32) and lower poorly.
+    Bp = -(-B // BB) * BB
+    Lp = -(-(max(L, W) + W + 2 * CHUNK) // 128) * 128
+    Tp = jnp.full((Bp, Lp), PAD, jnp.int32)
+    Tp = Tp.at[:B, :L].set(T.astype(jnp.int32))
+    Qp = jnp.full((Bp, Lp), PAD, jnp.int32)
+    Qp = Qp.at[:B, :L].set(Q.astype(jnp.int32))
+    tl = jnp.zeros((Bp, 1), jnp.int32).at[:B, 0].set(t_len.astype(jnp.int32))
+    ql = jnp.zeros((Bp, 1), jnp.int32).at[:B, 0].set(q_len.astype(jnp.int32))
+
+    kernel = functools.partial(
+        _kernel, W=W, xdrop=int(xdrop), match=match, mismatch=mismatch,
+        gap=gap, max_chunks=max_chunks,
+    )
+    blk = pl.BlockSpec((BB, Lp), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    blk1 = pl.BlockSpec((BB, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    score, te, qe = pl.pallas_call(
+        kernel,
+        grid=(Bp // BB,),
+        in_specs=[blk, blk, blk1, blk1],
+        out_specs=[blk1, blk1, blk1],
+        out_shape=[jax.ShapeDtypeStruct((Bp, 1), jnp.int32)] * 3,
+        interpret=interpret,
+    )(Tp, Qp, tl, ql)
+    return dict(score=score[:B, 0], t_end=te[:B, 0], q_end=qe[:B, 0])
+
+
+def pallas_available() -> bool:
+    """True when the compiled (non-interpret) kernel can run here."""
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False

@@ -227,13 +227,8 @@ def _gather_suffix(S, start, length, L):
     return jnp.where(ok, jnp.take_along_axis(S, jnp.clip(idx, 0, L - 1), axis=1), PAD_CHAR)
 
 
-@partial(jax.jit, static_argnames=("band", "kmer_size"))
-def _seed_extend_batch(
-    reads_dev, lens_dev, bh, bv, ph_raw, pv, rc, xdrop,
-    kmer_size: int, band: int,
-):
-    """Both-direction extension of one seed per pair, fused with the
-    sequence gathers and strand correction (one dispatch per batch).
+def _prepare_extensions(reads_dev, lens_dev, bh, bv, ph_raw, pv, rc, k: int):
+    """Strand correction + left/right extension sequence gathers.
 
     Strand handling follows xavierAlign (include/align.hpp:152-202): if
     the seed's forward strings disagree (rc), the H read is
@@ -241,43 +236,87 @@ def _seed_extend_batch(
     extension spans the seed (reversed prefixes up to seed end), right
     extension the suffixes after the seed — mirroring XavierXDrop's
     EXTEND_BOTH composition (xavier/xavier.h:326-372)."""
-    k = kmer_size
     h_seq = reads_dev[bh]
     V = reads_dev[bv]
     len_h = lens_dev[bh]
     len_v = lens_dev[bv]
     B, L = h_seq.shape
-    Lmax = L
 
-    idx = len_h[:, None] - 1 - jnp.arange(Lmax, dtype=jnp.int32)[None, :]
+    idx = len_h[:, None] - 1 - jnp.arange(L, dtype=jnp.int32)[None, :]
     rc_seq = jnp.where(
         idx >= 0,
-        jnp.take_along_axis(h_seq, jnp.clip(idx, 0, Lmax - 1), axis=1) ^ 3,
+        jnp.take_along_axis(h_seq, jnp.clip(idx, 0, L - 1), axis=1) ^ 3,
         PAD_CHAR,
     )
     H = jnp.where(rc[:, None], rc_seq, h_seq)
     seed_h = jnp.where(rc, len_h - ph_raw - k, ph_raw)
-    seed_v = pv
     seed_end_h = seed_h + k
-    seed_end_v = seed_v + k
+    seed_end_v = pv + k
 
     lt = _gather_reversed_prefix(H, seed_end_h, L)
     lq = _gather_reversed_prefix(V, seed_end_v, L)
-    left = extend_batch(lt, seed_end_h, lq, seed_end_v, xdrop, band=band, max_steps=2 * L)
-
     rt = _gather_suffix(H, seed_end_h, len_h, L)
     rq = _gather_suffix(V, seed_end_v, len_v, L)
-    right = extend_batch(
-        rt, len_h - seed_end_h, rq, len_v - seed_end_v, xdrop, band=band, max_steps=2 * L
+    return dict(
+        lt=lt, lq=lq, lt_len=seed_end_h, lq_len=seed_end_v,
+        rt=rt, rq=rq, rt_len=len_h - seed_end_h, rq_len=len_v - seed_end_v,
+        seed_end_h=seed_end_h, seed_end_v=seed_end_v, L=L,
     )
 
+
+def _combine_extensions(ext, left, right):
     return dict(
         score=left["score"] + right["score"],
-        beg_h=seed_end_h - left["t_end"],
-        beg_v=seed_end_v - left["q_end"],
-        end_h=seed_end_h + right["t_end"],
-        end_v=seed_end_v + right["q_end"],
+        beg_h=ext["seed_end_h"] - left["t_end"],
+        beg_v=ext["seed_end_v"] - left["q_end"],
+        end_h=ext["seed_end_h"] + right["t_end"],
+        end_v=ext["seed_end_v"] + right["q_end"],
     )
+
+
+@partial(jax.jit, static_argnames=("band", "kmer_size"))
+def _seed_extend_batch(
+    reads_dev, lens_dev, bh, bv, ph_raw, pv, rc, xdrop,
+    kmer_size: int, band: int,
+):
+    """Both-direction extension of one seed per pair, fused with the
+    sequence gathers and strand correction (one dispatch per batch)."""
+    ext = _prepare_extensions(reads_dev, lens_dev, bh, bv, ph_raw, pv, rc, kmer_size)
+    L = ext["L"]
+    left = extend_batch(
+        ext["lt"], ext["lt_len"], ext["lq"], ext["lq_len"], xdrop,
+        band=band, max_steps=2 * L,
+    )
+    right = extend_batch(
+        ext["rt"], ext["rt_len"], ext["rq"], ext["rq_len"], xdrop,
+        band=band, max_steps=2 * L,
+    )
+    return _combine_extensions(ext, left, right)
+
+
+@partial(jax.jit, static_argnames=("xdrop", "kmer_size", "band", "interpret"))
+def _seed_extend_batch_pallas(
+    reads_dev, lens_dev, bh, bv, ph_raw, pv, rc,
+    xdrop: int, kmer_size: int, band: int, interpret: bool,
+):
+    """Pallas-backed variant: left and right extensions of the whole
+    batch are fused into ONE kernel dispatch (2B grid blocks)."""
+    from bella_tpu.align.pallas_xdrop import extend_batch_pallas
+
+    ext = _prepare_extensions(reads_dev, lens_dev, bh, bv, ph_raw, pv, rc, kmer_size)
+    B = ext["lt"].shape[0]
+    L = ext["L"]
+    T2 = jnp.concatenate([ext["lt"], ext["rt"]])
+    Q2 = jnp.concatenate([ext["lq"], ext["rq"]])
+    tl2 = jnp.concatenate([ext["lt_len"], ext["rt_len"]])
+    ql2 = jnp.concatenate([ext["lq_len"], ext["rq_len"]])
+    out = extend_batch_pallas(
+        T2, tl2, Q2, ql2, xdrop, band=band, max_steps=2 * L,
+        interpret=interpret,
+    )
+    left = {k2: v[:B] for k2, v in out.items()}
+    right = {k2: v[B:] for k2, v in out.items()}
+    return _combine_extensions(ext, left, right)
 
 
 def align_candidates(
@@ -318,6 +357,22 @@ def align_candidates(
     beg_v = np.zeros(P, np.int32)
     end_v = np.zeros(P, np.int32)
 
+    # backend: the Pallas kernel is the compiled TPU path; the pure-JAX
+    # while_loop path covers CPU/GPU and serves as the oracle. An
+    # explicit "pallas" off-TPU runs the kernel interpreter (tests).
+    backend = getattr(config, "aligner_backend", "auto")
+    if backend == "auto":
+        from bella_tpu.align.pallas_xdrop import pallas_available
+
+        use_pallas = pallas_available()
+        interpret = False
+    else:
+        use_pallas = backend == "pallas"
+        import jax as _jax
+
+        interpret = use_pallas and _jax.default_backend() != "tpu"
+    pallas_band = int(getattr(config, "pallas_band", 256))
+
     # order by longer read of the pair so device batches are
     # length-homogeneous (lockstep while_loop wastes less)
     pair_len = np.maximum(read_lengths[pairs.read_h], read_lengths[pairs.read_v])
@@ -334,15 +389,23 @@ def align_candidates(
             )
         else:
             sel_valid = batch_size
-        out = _seed_extend_batch(
+        args = (
             reads_dev, lens_dev,
             jnp.asarray(pairs.read_h[sel]),
             jnp.asarray(pairs.read_v[sel]),
             jnp.asarray(pairs.pos_h[sel].astype(np.int32)),
             jnp.asarray(pairs.pos_v[sel].astype(np.int32)),
             jnp.asarray(pairs.seed_rc[sel]),
-            int(config.xdrop), k, config.band_width,
         )
+        if use_pallas:
+            out = _seed_extend_batch_pallas(
+                *args, xdrop=int(config.xdrop), kmer_size=k,
+                band=pallas_band, interpret=interpret,
+            )
+        else:
+            out = _seed_extend_batch(
+                *args, int(config.xdrop), k, config.band_width
+            )
         sel = sel[:sel_valid]
         score[sel] = np.asarray(out["score"])[:sel_valid]
         beg_h[sel] = np.asarray(out["beg_h"])[:sel_valid]

@@ -38,6 +38,10 @@ class BellaConfig:
     # --- TPU-native knobs (no reference equivalent; replace RAM probing) ---
     band_width: int = 128          # x-drop aligner band (lanes); ref uses 31
                                    # (xavier/simdutils.h:22-31); 128 = VPU lane dim
+    aligner_backend: str = "auto"  # auto | pallas | jax  (auto = pallas on TPU,
+                                   # adaptive-band pure-JAX elsewhere)
+    pallas_band: int = 256         # static centered band of the Pallas kernel
+                                   # (wider than band_width: no adaptive recentering)
     align_batch: int = 4096        # alignment pairs per device batch
                                    # (ref: 30000/GPU, include/align.hpp:35)
     max_shared_kmers: int = 256    # cap on shared k-mers folded per read pair

@@ -1,0 +1,110 @@
+"""Pallas x-drop kernel vs the full-DP oracle and the pure-JAX path.
+
+Runs the kernel through the Pallas interpreter on the CPU test mesh;
+the compiled path is exercised on real TPU by bench/driver runs.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from bella_tpu import BellaConfig
+from bella_tpu.align.pallas_xdrop import extend_batch_pallas
+from bella_tpu.align.xdrop import align_candidates, pad_reads
+from bella_tpu.io import ReadSet
+from bella_tpu.overlap.pairs import CandidatePairs
+
+from test_align import mutate, oracle_extend
+
+
+def run_one(t, q, xdrop, band=256):
+    L = max(len(t), len(q)) + 8
+    T = np.full((1, L), 127, np.int8)
+    Q = np.full((1, L), 127, np.int8)
+    T[0, : len(t)] = t
+    Q[0, : len(q)] = q
+    out = extend_batch_pallas(
+        jnp.asarray(T), jnp.asarray(np.array([len(t)], np.int32)),
+        jnp.asarray(Q), jnp.asarray(np.array([len(q)], np.int32)),
+        xdrop, band=band, max_steps=2 * L, interpret=True,
+    )
+    return int(out["score"][0]), int(out["t_end"][0]), int(out["q_end"][0])
+
+
+def test_perfect_and_edges():
+    rng = np.random.default_rng(0)
+    t = rng.integers(0, 4, 300).astype(np.int8)
+    assert run_one(t, t.copy(), 7) == (300, 300, 300)
+    assert run_one(np.zeros(0, np.int8), np.zeros(0, np.int8), 7) == (0, 0, 0)
+    a = np.array([1], np.int8)
+    assert run_one(a, a.copy(), 7) == (1, 1, 1)
+    assert run_one(np.array([1], np.int8), np.array([2], np.int8), 7)[0] == 0
+
+
+@pytest.mark.parametrize("err,seed", [(0.0, 2), (0.10, 4), (0.25, 6)])
+def test_matches_oracle(err, seed):
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 4, 400).astype(np.int8)
+    q = mutate(base, err, rng)
+    for xdrop in (7, 50):
+        s, te, qe = run_one(base, q, xdrop)
+        es, ete, eqe = oracle_extend(base, q, xdrop)
+        assert (s, te, qe) == (es, ete, eqe), (err, xdrop)
+
+
+def test_batch_mixed_lengths():
+    """One dispatch, 11 pairs (pads to 2 blocks), vs the oracle."""
+    rng = np.random.default_rng(7)
+    seqs = []
+    for i in range(11):
+        base = rng.integers(0, 4, int(rng.integers(30, 350))).astype(np.int8)
+        seqs.append((base, mutate(base, 0.12, rng)))
+    L = max(max(len(a), len(b)) for a, b in seqs) + 8
+    T = np.full((11, L), 127, np.int8)
+    Q = np.full((11, L), 127, np.int8)
+    tl = np.zeros(11, np.int32)
+    ql = np.zeros(11, np.int32)
+    for i, (a, b) in enumerate(seqs):
+        T[i, : len(a)] = a
+        Q[i, : len(b)] = b
+        tl[i], ql[i] = len(a), len(b)
+    out = extend_batch_pallas(
+        jnp.asarray(T), jnp.asarray(tl), jnp.asarray(Q), jnp.asarray(ql),
+        7, band=256, max_steps=2 * L, interpret=True,
+    )
+    for i, (a, b) in enumerate(seqs):
+        es, ete, eqe = oracle_extend(a, b, 7)
+        assert int(out["score"][i]) == es, i
+        assert (int(out["t_end"][i]), int(out["q_end"][i])) == (ete, eqe), i
+
+
+def test_align_candidates_pallas_backend():
+    """align_candidates(aligner_backend='pallas') == 'jax' end-to-end,
+    forward and reverse-complement strands."""
+    rng = np.random.default_rng(8)
+    g = rng.integers(0, 4, 600).astype(np.uint8)
+    s1 = "".join("ACGT"[c] for c in g[:400])
+    s2 = "".join("ACGT"[c] for c in g[200:])
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    s3 = "".join(comp[c] for c in reversed(s2))
+    rs = ReadSet.from_sequences([s2, s1, s3])
+    pairs = CandidatePairs(
+        read_h=np.array([1, 2], np.int32), read_v=np.array([0, 0], np.int32),
+        pos_h=np.array([300, 283], np.int32), pos_v=np.array([100, 100], np.int32),
+        count=np.ones(2, np.int32), matches=np.ones(2, np.int32),
+        overlap_est=np.ones(2, np.int32),
+        seed_rc=np.array([False, True], bool),
+    )
+    padded, lens = pad_reads(rs)
+    a_jax = align_candidates(
+        padded, lens, pairs, BellaConfig(aligner_backend="jax")
+    )
+    a_pal = align_candidates(
+        padded, lens, pairs, BellaConfig(aligner_backend="pallas")
+    )
+    for f in ("score", "beg_h", "end_h", "beg_v", "end_v"):
+        np.testing.assert_array_equal(
+            getattr(a_jax, f), getattr(a_pal, f), err_msg=f
+        )
+    assert int(a_pal.score[0]) == 200
