@@ -135,6 +135,14 @@ def _count_and_filter(kmers, read_ids, positions, is_rc, lower: int, upper: int)
     return sk, sr, sp, sc, counts, dense_id, reliable, boundary
 
 
+@partial(jax.jit, static_argnames=("size",))
+def _gather_reliable(dense_id, sr, sp, sc, reliable, size: int):
+    """Device-side compaction of reliable occurrences: the host link may
+    be a network relay, so transfer O(nnz), not O(total occurrences)."""
+    idx = jnp.nonzero(reliable, size=size, fill_value=reliable.shape[0] - 1)[0]
+    return dense_id[idx], sr[idx], sp[idx], sc[idx]
+
+
 def count_kmers(
     occ: KmerOccurrences, lower: int = 1, upper: int = 2**31 - 1
 ) -> Tuple[np.ndarray, np.ndarray]:
@@ -177,14 +185,20 @@ def build_reliable_triples(
             kmers, occ.read_ids, occ.positions, occ.is_rc,
             config.lower_freq, config.upper_freq,
         )
-        rel = np.asarray(reliable)
-        kid = np.asarray(dense_id)[rel] + id_base
+        num = int(jnp.sum(reliable))
+        if num == 0:
+            continue
+        size = min(1 << max(10, (num - 1).bit_length()), int(reliable.shape[0]))
+        g_kid, g_sr, g_sp, g_sc = _gather_reliable(
+            dense_id, sr, sp, sc, reliable, size
+        )
+        kid = np.asarray(g_kid)[:num].astype(np.int32) + id_base
         parts.append(
             (
-                kid.astype(np.int32),
-                np.asarray(sr)[rel],
-                np.asarray(sp)[rel],
-                np.asarray(sc)[rel],
+                kid,
+                np.asarray(g_sr)[:num],
+                np.asarray(g_sp)[:num],
+                np.asarray(g_sc)[:num],
             )
         )
         id_base += int(kid[-1]) + 1 - id_base if kid.size else 0

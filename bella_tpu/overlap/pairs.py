@@ -220,17 +220,34 @@ def _chain_stage(key, bin_id, pos_h, pos_v, flip, ov, kmer_size: int):
     return _chain_sorted(key, bin_id, pos_h, pos_v, flip, ov, kmer_size)
 
 
+_FIELDS = (
+    "read_h", "read_v", "pos_h", "pos_v", "count", "matches",
+    "overlap_est", "seed_rc",
+)
+
+
+@partial(jax.jit, static_argnames=("size",))
+def _gather_seeds(out, size: int):
+    """Device-side compaction: gather the seed rows into a `size`-padded
+    block. Keeps the device->host transfer proportional to the number of
+    PAIRS, not the expanded candidate stream (this runtime's host link
+    is a network relay — pulling the full stream is the difference
+    between seconds and tens of minutes)."""
+    idx = jnp.nonzero(
+        out["seed_mask"], size=size, fill_value=out["seed_mask"].shape[0] - 1
+    )[0]
+    return [out[f][idx] for f in _FIELDS]
+
+
 def _compact(out) -> CandidatePairs:
-    mask = np.asarray(out["seed_mask"])
+    num = int(jnp.sum(out["seed_mask"]))
+    if num == 0:
+        return CandidatePairs.empty()
+    size = 1 << max(10, (num - 1).bit_length())  # pow2 buckets: stable jits
+    size = min(size, int(out["seed_mask"].shape[0]))
+    gathered = _gather_seeds(out, size)
     return CandidatePairs(
-        read_h=np.asarray(out["read_h"])[mask],
-        read_v=np.asarray(out["read_v"])[mask],
-        pos_h=np.asarray(out["pos_h"])[mask],
-        pos_v=np.asarray(out["pos_v"])[mask],
-        count=np.asarray(out["count"])[mask],
-        matches=np.asarray(out["matches"])[mask],
-        overlap_est=np.asarray(out["overlap_est"])[mask],
-        seed_rc=np.asarray(out["seed_rc"])[mask],
+        *(np.asarray(a)[:num] for a in gathered)
     )
 
 
@@ -239,7 +256,7 @@ _SENT32 = np.int32(0x7FFFFFFF)
 
 @partial(jax.jit, static_argnames=("kmer_size", "lower", "upper", "use_hopc"))
 def _fused_count(
-    codes, rid, pos, valid,
+    codes, lengths, offsets,
     kmer_size: int, lower: int, upper: int, use_hopc: bool,
 ):
     """Phase 1: pack + canonicalise + sort + exact count + reliable
@@ -247,10 +264,23 @@ def _fused_count(
 
     The sort keys are the canonical k-mer split into two uint32 halves:
     64-bit integers are software-emulated on TPU, so keeping the sort
-    comparator in 32-bit land roughly halves its cost."""
+    comparator in 32-bit land roughly halves its cost. Read-id/position
+    streams are derived on device from (lengths, offsets) — uploading
+    them precomputed would triple the host->device transfer."""
     from bella_tpu.seq.encode import canonical_kmers, hopc_kmers, pack_kmers
 
     k = kmer_size
+    total = codes.shape[0]
+    nreads = lengths.shape[0]
+    rid_per_base = jnp.repeat(
+        jnp.arange(nreads, dtype=jnp.int32), lengths, total_repeat_length=total
+    )
+    rid = rid_per_base[: total - k + 1]
+    valid = rid == rid_per_base[k - 1:]
+    pos = (
+        jnp.arange(total - k + 1, dtype=jnp.int32)
+        - offsets[:-1].astype(jnp.int32)[rid]
+    )
     if use_hopc:
         canon, _len = hopc_kmers(codes, k)
         is_rc = jnp.zeros_like(valid)
@@ -318,6 +348,102 @@ def _fused_emit(
     return h, v, bin_id, pos_h, pos_v, flip, ov
 
 
+@partial(jax.jit, static_argnames=("kmer_size", "upper", "bin_size"))
+def _fused_emit_packed(
+    live, sr, sp, sc, rank, read_lengths,
+    kmer_size: int, upper: int, bin_size: int,
+):
+    """Packed phase 2+3: when read ids and positions fit 16 bits (the
+    reference caps positions at 16 bits too, src/main.cpp:193), the whole
+    candidate row packs into THREE uint32 sort operands instead of seven:
+
+        hv  = h << 16 | v                 (pair key; 0xFFFFFFFF sentinel)
+        k3  = bin << 17 | pos_h << 1 | flip
+        pv  = pos_v                       (payload)
+
+    ov is recomputed after the sort from the unpacked fields. Sorting
+    moves every operand through every compare-exchange, so 7 -> 3
+    operands is ~2.3x less data movement (and much faster compiles)."""
+    k = kmer_size
+    u32 = jnp.uint32
+    hvs, k3s, pvs = [], [], []
+    for d in range(1, upper):
+        ra, rb = sr[d:], sr[:-d]
+        pa, pb = sp[d:], sp[:-d]
+        ca, cb = sc[d:], sc[:-d]
+        ok = (rank[d:] >= d) & (ra != rb) & live[d:] & live[:-d]
+        h_is_a = ra > rb
+        h = jnp.where(h_is_a, ra, rb).astype(u32)
+        v = jnp.where(h_is_a, rb, ra).astype(u32)
+        pos_h = jnp.where(h_is_a, pa, pb).astype(jnp.int32)
+        pos_v = jnp.where(h_is_a, pb, pa).astype(u32)
+        flip = jnp.where(h_is_a, ca, cb) != jnp.where(h_is_a, cb, ca)
+
+        len_h = read_lengths[jnp.clip(h.astype(jnp.int32), 0, read_lengths.shape[0] - 1)]
+        len_v = read_lengths[jnp.clip(v.astype(jnp.int32), 0, read_lengths.shape[0] - 1)]
+        beg_h = jnp.where(flip, len_h - pos_h - k, pos_h)
+        ov = (
+            jnp.minimum(beg_h, pos_v.astype(jnp.int32))
+            + jnp.minimum(len_h - (beg_h + k), len_v - (pos_v.astype(jnp.int32) + k))
+            + k
+        )
+        bin_id = jnp.maximum(ov, 0).astype(u32) // u32(bin_size)
+
+        hv = (h << u32(16)) | v
+        k3 = (bin_id << u32(17)) | (pos_h.astype(u32) << u32(1)) | flip.astype(u32)
+        hvs.append(jnp.where(ok, hv, u32(0xFFFFFFFF)))
+        k3s.append(k3)
+        pvs.append(pos_v)
+    return jnp.concatenate(hvs), jnp.concatenate(k3s), jnp.concatenate(pvs)
+
+
+@partial(jax.jit, static_argnames=("kmer_size", "bin_size"))
+def _chain_packed(hv, k3, pv, read_lengths, kmer_size: int, bin_size: int):
+    """Packed sort + segmented chain (see _fused_emit_packed)."""
+    k = kmer_size
+    u32 = jnp.uint32
+    hv, k3, pv = jax.lax.sort((hv, k3, pv), num_keys=2)
+    live = hv != u32(0xFFFFFFFF)
+    h = (hv >> u32(16)).astype(jnp.int32)
+    v = (hv & u32(0xFFFF)).astype(jnp.int32)
+    bin_id = (k3 >> u32(17)).astype(jnp.int32)
+    pos_h = ((k3 >> u32(1)) & u32(0xFFFF)).astype(jnp.int32)
+    flip = (k3 & u32(1)).astype(bool)
+    pos_v = pv.astype(jnp.int32)
+
+    len_h = read_lengths[jnp.clip(h, 0, read_lengths.shape[0] - 1)]
+    len_v = read_lengths[jnp.clip(v, 0, read_lengths.shape[0] - 1)]
+    beg_h = jnp.where(flip, len_h - pos_h - k, pos_h)
+    ov = (
+        jnp.minimum(beg_h, pos_v)
+        + jnp.minimum(len_h - (beg_h + k), len_v - (pos_v + k))
+        + k
+    ).astype(jnp.int32)
+
+    pair_b = seg.boundaries(hv)
+    bin_b = seg.boundaries2(hv, bin_id)
+
+    bucket = pos_h // (k + 1)
+    prev_bucket = jnp.concatenate([bucket[:1], bucket[:-1]])
+    dup = (~bin_b) & (bucket == prev_bucket)
+    kept = (~dup) & live
+
+    support = seg.seg_sum(kept.astype(jnp.int32), bin_b).astype(jnp.int32)
+    count = seg.seg_sum(live.astype(jnp.int32), pair_b).astype(jnp.int32)
+    pair_start, _ = seg.seg_bounds(pair_b)
+    binidx = seg.seg_ids(bin_b)
+    bin_rank = binidx - binidx[pair_start]
+    score = support.astype(jnp.int64) * (1 << 31) + ((1 << 31) - 1 - bin_rank)
+    best = seg.seg_max(score, pair_b)
+    seed_mask = (score == best) & bin_b & live
+
+    return dict(
+        seed_mask=seed_mask, read_h=h, read_v=v, pos_h=pos_h, pos_v=pos_v,
+        count=count.astype(jnp.int32), matches=support, overlap_est=ov,
+        seed_rc=flip,
+    )
+
+
 @partial(jax.jit, static_argnames=("kmer_size",))
 def _chain_stage32(h, v, bin_id, pos_h, pos_v, flip, ov, kmer_size: int):
     """Phase 3: (h, v, bin, posH) 4-key int32 sort + segmented chain."""
@@ -361,30 +487,38 @@ def detect_overlaps(reads, config: BellaConfig):
     m = len(reads.codes) - k + 1
     if m <= 0:
         return CandidatePairs.empty(), 0, 0
-    rid_per_base = np.repeat(
-        np.arange(reads.num_reads, dtype=np.int32), reads.lengths
-    )
-    rid = rid_per_base[:m]
-    valid = rid == rid_per_base[k - 1 :]
-    pos = np.arange(m, dtype=np.int64) - reads.offsets[:-1][rid]
     live, sr, sp, sc, rank, nnz, num_kmers = _fused_count(
         jnp.asarray(reads.codes),
-        jnp.asarray(rid),
-        jnp.asarray(pos.astype(np.int32)),
-        jnp.asarray(valid),
+        jnp.asarray(reads.lengths.astype(np.int32)),
+        jnp.asarray(reads.offsets.astype(np.int32)),
         kmer_size=k,
         lower=config.lower_freq,
         upper=config.upper_freq,
         use_hopc=config.use_hopc,
     )
-    h, v, bin_id, pos_h, pos_v, flip, ov = _fused_emit(
-        live, sr, sp, sc, rank,
-        jnp.asarray(reads.lengths.astype(np.int32)),
-        kmer_size=k,
-        upper=config.upper_freq,
-        bin_size=config.bin_size,
+    lengths_dev = jnp.asarray(reads.lengths.astype(np.int32))
+    # packed 3-operand sort path when ids/positions fit 16 bits (the
+    # reference caps positions at 16 bits too, src/main.cpp:193)
+    max_len = int(reads.lengths.max()) if reads.num_reads else 0
+    packed = (
+        reads.num_reads <= 0xFFFF and max_len <= 0xFFFF and config.bin_size >= 3
     )
-    out = _chain_stage32(h, v, bin_id, pos_h, pos_v, flip, ov, kmer_size=k)
+    if packed:
+        hv, k3, pv = _fused_emit_packed(
+            live, sr, sp, sc, rank, lengths_dev,
+            kmer_size=k, upper=config.upper_freq, bin_size=config.bin_size,
+        )
+        out = _chain_packed(
+            hv, k3, pv, lengths_dev, kmer_size=k, bin_size=config.bin_size
+        )
+    else:
+        h, v, bin_id, pos_h, pos_v, flip, ov = _fused_emit(
+            live, sr, sp, sc, rank, lengths_dev,
+            kmer_size=k,
+            upper=config.upper_freq,
+            bin_size=config.bin_size,
+        )
+        out = _chain_stage32(h, v, bin_id, pos_h, pos_v, flip, ov, kmer_size=k)
     pairs = _compact(out)
     return pairs, int(num_kmers), int(nnz)
 
