@@ -397,6 +397,21 @@ def _fused_emit_packed(
     return jnp.concatenate(hvs), jnp.concatenate(k3s), jnp.concatenate(pvs)
 
 
+@partial(jax.jit, static_argnames=("kmer_size", "upper", "bin_size"))
+def _emit_chain_packed(
+    live, sr, sp, sc, rank, read_lengths,
+    kmer_size: int, upper: int, bin_size: int,
+):
+    """Fused packed emit + sort + chain (one dispatch, one compile)."""
+    hv, k3, pv = _fused_emit_packed.__wrapped__(
+        live, sr, sp, sc, rank, read_lengths,
+        kmer_size=kmer_size, upper=upper, bin_size=bin_size,
+    )
+    return _chain_packed.__wrapped__(
+        hv, k3, pv, read_lengths, kmer_size=kmer_size, bin_size=bin_size
+    )
+
+
 @partial(jax.jit, static_argnames=("kmer_size", "bin_size"))
 def _chain_packed(hv, k3, pv, read_lengths, kmer_size: int, bin_size: int):
     """Packed sort + segmented chain (see _fused_emit_packed)."""
@@ -504,12 +519,9 @@ def detect_overlaps(reads, config: BellaConfig):
         reads.num_reads <= 0xFFFF and max_len <= 0xFFFF and config.bin_size >= 3
     )
     if packed:
-        hv, k3, pv = _fused_emit_packed(
+        out = _emit_chain_packed(
             live, sr, sp, sc, rank, lengths_dev,
             kmer_size=k, upper=config.upper_freq, bin_size=config.bin_size,
-        )
-        out = _chain_packed(
-            hv, k3, pv, lengths_dev, kmer_size=k, bin_size=config.bin_size
         )
     else:
         h, v, bin_id, pos_h, pos_v, flip, ov = _fused_emit(

@@ -42,3 +42,39 @@ def test_fused_hopc_runs():
     cfg = BellaConfig(use_hopc=True)
     pairs, num_kmers, nnz = detect_overlaps(reads, cfg)
     assert num_kmers > 0 and nnz > 0
+
+
+def test_packed_stages_match_unpacked():
+    """The 3-operand packed sort path == the 7-operand path on the same
+    counted stream (same pairs, seeds, counts)."""
+    import jax.numpy as jnp
+    from bella_tpu.overlap.pairs import (
+        _chain_packed, _chain_stage32, _compact, _fused_count, _fused_emit,
+        _fused_emit_packed,
+    )
+
+    g = random_genome(6000, seed=41)
+    reads, _ = sample_reads(
+        g, 25, mean_len=900, min_len=400, error_rate=0.1, seed=42, circular=False
+    )
+    cfg = BellaConfig()
+    k = cfg.kmer_size
+    live, sr, sp, sc, rank, nnz, num_kmers = _fused_count(
+        jnp.asarray(reads.codes),
+        jnp.asarray(reads.lengths.astype(np.int32)),
+        jnp.asarray(reads.offsets.astype(np.int32)),
+        kmer_size=k, lower=cfg.lower_freq, upper=cfg.upper_freq, use_hopc=False,
+    )
+    lengths = jnp.asarray(reads.lengths.astype(np.int32))
+    hv, k3, pv = _fused_emit_packed(
+        live, sr, sp, sc, rank, lengths,
+        kmer_size=k, upper=cfg.upper_freq, bin_size=cfg.bin_size,
+    )
+    packed = _compact(_chain_packed(hv, k3, pv, lengths, kmer_size=k, bin_size=cfg.bin_size))
+    h, v, b, ph, pvv, fl, ov = _fused_emit(
+        live, sr, sp, sc, rank, lengths,
+        kmer_size=k, upper=cfg.upper_freq, bin_size=cfg.bin_size,
+    )
+    unpacked = _compact(_chain_stage32(h, v, b, ph, pvv, fl, ov, kmer_size=k))
+    mp, mu = _as_map(packed), _as_map(unpacked)
+    assert mp == mu
