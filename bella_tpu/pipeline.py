@@ -67,6 +67,12 @@ def run_pipeline(
         log("numReliableKmers", num_kmers)
         log("nnzA", nnz)
         log("candidatePairs", pairs.num_pairs)
+        if pairs.num_pairs:
+            # reference logs flops/nnz(C) as CompressionRatio (overlap.hpp:698)
+            log(
+                "compressionRatio",
+                f"{nnz * (config.upper_freq - 1) / pairs.num_pairs:.2f}",
+            )
         if num_kmers == 0:
             raise RuntimeError(
                 "0 reliable k-mers: all frequencies outside "
@@ -123,9 +129,19 @@ def run_pipeline(
             else:
                 rows = writers.overlap_only_rows(pairs, reads)
     else:
+        import time as _time
+
+        t_aln = _time.perf_counter()
         with phase("alignment"):
             padded, lens = pad_reads(reads)
             aln = align_candidates(padded, lens, pairs, config)
+        dt_aln = _time.perf_counter() - t_aln
+        if pairs.num_pairs and dt_aln > 0:
+            # reference logs the alignment rate in bases/s (overlap.hpp:757-767)
+            aligned_bases = int(
+                (aln.end_h - aln.beg_h).sum() + (aln.end_v - aln.beg_v).sum()
+            )
+            log("alignmentRate", f"{aligned_bases / dt_aln:.0f} bases/s")
         with phase("decision"):
             dec = post_align_decision(
                 aln, pairs.read_h, pairs.read_v, reads.lengths, config
