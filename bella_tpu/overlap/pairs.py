@@ -443,18 +443,22 @@ def _chain_packed(hv, k3, pv, read_lengths, kmer_size: int, bin_size: int):
     dup = (~bin_b) & (bucket == prev_bucket)
     kept = (~dup) & live
 
-    support = seg.seg_sum(kept.astype(jnp.int32), bin_b).astype(jnp.int32)
-    count = seg.seg_sum(live.astype(jnp.int32), pair_b).astype(jnp.int32)
-    pair_start, _ = seg.seg_bounds(pair_b)
-    binidx = seg.seg_ids(bin_b)
-    bin_rank = binidx - binidx[pair_start]
-    score = support.astype(jnp.int64) * (1 << 31) + ((1 << 31) - 1 - bin_rank)
-    best = seg.seg_max(score, pair_b)
+    # gather-free int32 segment machinery (seg.*_bcast): this stage runs
+    # on tens of millions of rows, where gather HLOs and int64
+    # associative scans stall this TPU toolchain
+    support = seg.seg_sum_bcast(kept.astype(jnp.int32), bin_b)
+    count = seg.seg_sum_bcast(live.astype(jnp.int32), pair_b)
+    binidx = seg.seg_cumsum(bin_b.astype(jnp.int32), pair_b)  # 1-based rank
+    # support < 2^12 (<= max_len/(k+1) with 16-bit positions), rank
+    # capped at 2^15 - 1 -> score fits int32
+    bin_rank = jnp.minimum(binidx - 1, (1 << 15) - 1)
+    score = support * (1 << 15) + ((1 << 15) - 1 - bin_rank)
+    best = seg.seg_max_bcast(score, pair_b)
     seed_mask = (score == best) & bin_b & live
 
     return dict(
         seed_mask=seed_mask, read_h=h, read_v=v, pos_h=pos_h, pos_v=pos_v,
-        count=count.astype(jnp.int32), matches=support, overlap_est=ov,
+        count=count, matches=support, overlap_est=ov,
         seed_rc=flip,
     )
 

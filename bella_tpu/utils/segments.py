@@ -106,3 +106,87 @@ def seg_rank(boundary):
 def seg_ids(boundary):
     """Dense 0-based segment index per element."""
     return (jnp.cumsum(boundary.astype(jnp.int64)) - 1).astype(jnp.int32)
+
+
+# ----------------------------------------------------------------------
+# Gather-free broadcast variants (Hillis-Steele doubling)
+#
+# The scan-and-gather primitives above (seg_sum/seg_max/seg_bounds) are
+# exact but lower to big self-gathers plus jax.lax.associative_scan
+# networks, which this TPU toolchain handles poorly at tens of millions
+# of rows. The *_bcast variants below compute the same per-segment
+# aggregate broadcast to every element using only static shifted slices
+# and selects: 2 * log2(n) elementwise passes, no gather HLOs, no int64.
+# ----------------------------------------------------------------------
+
+
+def _shift_fwd(a, s: int, fill):
+    """out[i] = a[i - s] (leading `s` elements = fill)."""
+    return jnp.concatenate([jnp.full((s,), fill, a.dtype), a[:-s]])
+
+
+def _seg_scan(values, boundary, op, unit):
+    """Inclusive forward segmented scan (combine = op, resets at segment
+    starts). Returns the scanned values; the last row of each segment
+    holds the segment aggregate."""
+    n = int(values.shape[0])
+    v = values
+    f = boundary
+    s = 1
+    while s < n:
+        pv = _shift_fwd(v, s, jnp.asarray(unit, v.dtype))
+        pf = _shift_fwd(f, s, True)
+        v = jnp.where(f, v, op(v, pv))
+        f = f | pf
+        s <<= 1
+    return v
+
+
+def _copy_first(values, boundary):
+    """Propagate each segment's FIRST value to every element."""
+    n = int(values.shape[0])
+    v = values
+    f = boundary
+    s = 1
+    while s < n:
+        pv = _shift_fwd(v, s, jnp.asarray(0, v.dtype))
+        pf = _shift_fwd(f, s, True)
+        v = jnp.where(f, v, pv)
+        f = f | pf
+        s <<= 1
+    return v
+
+
+def _bcast_last(values, boundary):
+    """Propagate each segment's LAST value to every element (backward
+    copy): reverse the stream, segment starts become is_last."""
+    is_first_rev = jnp.concatenate([boundary[1:], jnp.ones((1,), bool)])[::-1]
+    return _copy_first(values[::-1], is_first_rev)[::-1]
+
+
+def seg_cumsum(values, boundary):
+    """Inclusive segmented prefix sum (no gathers)."""
+    return _seg_scan(values, boundary, jnp.add, 0)
+
+
+def seg_sum_bcast(values, boundary):
+    """Segment sum broadcast to every element (int32 in/out, no gathers)."""
+    inc = _seg_scan(values, boundary, jnp.add, 0)
+    return _bcast_last(inc, boundary)
+
+
+def seg_max_bcast(values, boundary):
+    """Segment max broadcast to every element (no gathers)."""
+    if values.dtype == jnp.int32:
+        unit = -(2**31)
+    elif values.dtype == jnp.int64:
+        unit = -(2**63)
+    else:
+        raise TypeError(values.dtype)
+    inc = _seg_scan(values, boundary, jnp.maximum, unit)
+    return _bcast_last(inc, boundary)
+
+
+def seg_first_bcast(values, boundary):
+    """Segment first-element value broadcast to every element."""
+    return _copy_first(values, boundary)
