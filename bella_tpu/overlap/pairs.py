@@ -156,16 +156,16 @@ def _chain_sorted(key, bin_id, pos_h, pos_v, flip, ov, kmer_size: int):
     dup = (~bin_b) & (bucket == prev_bucket)
     kept = (~dup) & live
 
-    support = seg.seg_sum(kept.astype(jnp.int32), bin_b).astype(jnp.int32)
-    count = seg.seg_sum(live.astype(jnp.int32), pair_b).astype(jnp.int32)
+    support = seg.seg_sum_bcast(kept.astype(jnp.int32), bin_b)
+    count = seg.seg_sum_bcast(live.astype(jnp.int32), pair_b)
 
     # majority vote: max support, tie -> lowest bin (deterministic stand-in
-    # for the reference's insertion-order tie-break, common.h:142-148)
-    pair_start, _ = seg.seg_bounds(pair_b)
-    binidx = seg.seg_ids(bin_b)
-    bin_rank = binidx - binidx[pair_start]
-    score = support.astype(jnp.int64) * (1 << 31) + ((1 << 31) - 1 - bin_rank)
-    best = seg.seg_max(score, pair_b)
+    # for the reference's insertion-order tie-break, common.h:142-148).
+    # int64 score: unpacked paths allow positions > 16 bit, so support
+    # can exceed 2^15 (gather-free scans, see utils/segments.py)
+    binidx = seg.seg_cumsum(bin_b.astype(jnp.int32), pair_b)
+    score = support.astype(jnp.int64) * (1 << 31) + ((1 << 31) - binidx)
+    best = seg.seg_max_bcast(score, pair_b)
     seed_mask = (score == best) & bin_b & live
 
     return dict(
@@ -479,18 +479,16 @@ def _chain_stage32(h, v, bin_id, pos_h, pos_v, flip, ov, kmer_size: int):
     dup = (~bin_b) & (bucket == prev_bucket)
     kept = (~dup) & live
 
-    support = seg.seg_sum(kept.astype(jnp.int32), bin_b).astype(jnp.int32)
-    count = seg.seg_sum(live.astype(jnp.int32), pair_b).astype(jnp.int32)
-    pair_start, _ = seg.seg_bounds(pair_b)
-    binidx = seg.seg_ids(bin_b)
-    bin_rank = binidx - binidx[pair_start]
-    score = support.astype(jnp.int64) * (1 << 31) + ((1 << 31) - 1 - bin_rank)
-    best = seg.seg_max(score, pair_b)
+    support = seg.seg_sum_bcast(kept.astype(jnp.int32), bin_b)
+    count = seg.seg_sum_bcast(live.astype(jnp.int32), pair_b)
+    binidx = seg.seg_cumsum(bin_b.astype(jnp.int32), pair_b)
+    score = support.astype(jnp.int64) * (1 << 31) + ((1 << 31) - binidx)
+    best = seg.seg_max_bcast(score, pair_b)
     seed_mask = (score == best) & bin_b & live
 
     return dict(
         seed_mask=seed_mask, read_h=h, read_v=v, pos_h=pos_h, pos_v=pos_v,
-        count=count.astype(jnp.int32), matches=support, overlap_est=ov,
+        count=count, matches=support, overlap_est=ov,
         seed_rc=flip,
     )
 

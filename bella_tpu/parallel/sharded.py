@@ -230,13 +230,11 @@ def sharded_candidates(
         prev_bucket = jnp.concatenate([bucket[:1], bucket[:-1]])
         dup = (~bin_b) & (bucket == prev_bucket)
         kept = (~dup) & live
-        support = seg.seg_sum(kept.astype(jnp.int32), bin_b).astype(jnp.int32)
-        count = seg.seg_sum(live.astype(jnp.int32), pair_b).astype(jnp.int32)
-        pair_start, _ = seg.seg_bounds(pair_b)
-        binidx = seg.seg_ids(bin_b)
-        bin_rank = binidx - binidx[pair_start]
-        score = support.astype(jnp.int64) * (1 << 31) + ((1 << 31) - 1 - bin_rank)
-        best = seg.seg_max(score, pair_b)
+        support = seg.seg_sum_bcast(kept.astype(jnp.int32), bin_b)
+        count = seg.seg_sum_bcast(live.astype(jnp.int32), pair_b)
+        binidx = seg.seg_cumsum(bin_b.astype(jnp.int32), pair_b)
+        score = support.astype(jnp.int64) * (1 << 31) + ((1 << 31) - binidx)
+        best = seg.seg_max_bcast(score, pair_b)
         seed_mask = (score == best) & bin_b & live
 
         return (seed_mask, key2, ph2, pv2, count, support, ov2, fl2,
