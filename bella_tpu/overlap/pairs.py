@@ -296,12 +296,15 @@ def _fused_count(
         (khi, klo, rid, pos, is_rc), num_keys=2
     )
     kb = seg.boundaries2(khi, klo)
-    counts = seg.seg_count(kb)
+    ones = jnp.ones_like(sr, dtype=jnp.int32)
+    # gather-free int32 segment ops (int64 associative scans blow up this
+    # toolchain's compile-helper memory at large shapes)
+    counts = seg.seg_sum_bcast(ones, kb)
+    rank = seg.seg_cumsum(ones, kb) - 1
     is_sentinel = (khi == jnp.uint32(0xFFFFFFFF)) & (klo == jnp.uint32(0xFFFFFFFF))
     reliable = (counts >= lower) & (counts <= upper) & (~is_sentinel)
     nnz = jnp.sum(reliable)
     num_kmers = jnp.sum(kb & reliable)
-    rank = seg.seg_rank(kb)
     return reliable, sr, sp, sc, rank, nnz, num_kmers
 
 
@@ -395,21 +398,6 @@ def _fused_emit_packed(
         k3s.append(k3)
         pvs.append(pos_v)
     return jnp.concatenate(hvs), jnp.concatenate(k3s), jnp.concatenate(pvs)
-
-
-@partial(jax.jit, static_argnames=("kmer_size", "upper", "bin_size"))
-def _emit_chain_packed(
-    live, sr, sp, sc, rank, read_lengths,
-    kmer_size: int, upper: int, bin_size: int,
-):
-    """Fused packed emit + sort + chain (one dispatch, one compile)."""
-    hv, k3, pv = _fused_emit_packed.__wrapped__(
-        live, sr, sp, sc, rank, read_lengths,
-        kmer_size=kmer_size, upper=upper, bin_size=bin_size,
-    )
-    return _chain_packed.__wrapped__(
-        hv, k3, pv, read_lengths, kmer_size=kmer_size, bin_size=bin_size
-    )
 
 
 @partial(jax.jit, static_argnames=("kmer_size", "bin_size"))
@@ -521,9 +509,15 @@ def detect_overlaps(reads, config: BellaConfig):
         reads.num_reads <= 0xFFFF and max_len <= 0xFFFF and config.bin_size >= 3
     )
     if packed:
-        out = _emit_chain_packed(
+        # two dispatches, not one merged jit: the merged emit+sort+scan
+        # program stalls this toolchain's compiler at large shapes, while
+        # the separate programs compile in ~1 min each (probe-measured)
+        hv, k3, pv = _fused_emit_packed(
             live, sr, sp, sc, rank, lengths_dev,
             kmer_size=k, upper=config.upper_freq, bin_size=config.bin_size,
+        )
+        out = _chain_packed(
+            hv, k3, pv, lengths_dev, kmer_size=k, bin_size=config.bin_size
         )
     else:
         h, v, bin_id, pos_h, pos_v, flip, ov = _fused_emit(
