@@ -112,26 +112,24 @@ def _count_and_filter(kmers, read_ids, positions, is_rc, lower: int, upper: int)
 
     Returns (sorted fields..., counts, dense_id, reliable_mask, boundary).
     """
-    n = kmers.shape[0]
-    order = jnp.argsort(kmers)
-    sk = kmers[order]
-    sr = read_ids[order]
-    sp = positions[order]
-    sc = is_rc[order]
+    from bella_tpu.utils import segments as seg
 
-    idx = jnp.arange(n, dtype=jnp.int64)
-    boundary = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]])
-    # run start/end via prefix scans
-    start = jax.lax.associative_scan(jnp.maximum, jnp.where(boundary, idx, 0))
-    is_last = jnp.concatenate([sk[1:] != sk[:-1], jnp.ones((1,), bool)])
-    end_rev = jax.lax.associative_scan(
-        jnp.minimum, jnp.where(is_last, idx, n - 1)[::-1]
-    )[::-1]
-    counts = (end_rev - start + 1).astype(jnp.int32)
+    # sort on split uint32 key halves with payloads riding along: no
+    # argsort+gather, no emulated 64-bit comparators on TPU
+    khi = (kmers >> _U64(32)).astype(jnp.uint32)
+    klo = kmers.astype(jnp.uint32)
+    khi, klo, sr, sp, sc = jax.lax.sort(
+        (khi, klo, read_ids, positions, is_rc), num_keys=2
+    )
+    sk = (khi.astype(_U64) << _U64(32)) | klo.astype(_U64)
+    boundary = seg.boundaries2(khi, klo)
+    # gather-free int32 segment ops (int64 associative scans blow up the
+    # TPU compile helper at large shapes)
+    counts = seg.seg_sum_bcast(jnp.ones_like(sr, dtype=jnp.int32), boundary)
 
     reliable = (counts >= lower) & (counts <= upper) & (sk != jnp.asarray(SENTINEL))
     new_rel_seg = boundary & reliable
-    dense_id = (jnp.cumsum(new_rel_seg.astype(jnp.int64)) - 1).astype(jnp.int32)
+    dense_id = jnp.cumsum(new_rel_seg.astype(jnp.int32)) - 1
     return sk, sr, sp, sc, counts, dense_id, reliable, boundary
 
 

@@ -105,10 +105,11 @@ def _local_emit(kmers, read_ids, positions, is_rc, read_lengths,
     sc = is_rc[order]
 
     kb = seg.boundaries(sk)
-    counts = seg.seg_count(kb)
+    ones = jnp.ones_like(sr, dtype=jnp.int32)
+    counts = seg.seg_sum_bcast(ones, kb)
     reliable = (counts >= lower) & (counts <= upper) & (sk != jnp.asarray(SENTINEL))
     sk = jnp.where(reliable, sk, jnp.asarray(SENTINEL))
-    rank = seg.seg_rank(kb)
+    rank = seg.seg_cumsum(ones, kb) - 1
 
     keys, phs, pvs, rchs, rcvs = [], [], [], [], []
     live = sk != jnp.asarray(SENTINEL)
