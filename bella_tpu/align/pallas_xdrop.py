@@ -47,19 +47,25 @@ CHUNK = 64      # steps per feed refill / termination check
 
 
 def _lo(d, W):
-    """Band offset at antidiagonal d (shared scalar trajectory)."""
-    return jnp.maximum(jnp.int32(0), (d - W + 1) // 2)
+    """Band offset at antidiagonal d (shared scalar trajectory).
+
+    All scalar arithmetic is explicit int32: binops between traced values
+    and python ints promote through int64 under x64, which Mosaic cannot
+    lower. (d - (W-1)) >> 1 == floor((d - W + 1) / 2) for int32."""
+    return jnp.maximum(jnp.int32(0), (d - jnp.int32(W - 1)) >> jnp.int32(1))
 
 
 def _roll_l(a):
     """out[:, p] = a[:, p+1]; last lane wraps (caller overwrites/masks).
-    pltpu.roll requires a non-negative shift: left-by-1 == right-by-(n-1)."""
-    return pltpu.roll(a, a.shape[1] - 1, 1)
+    pltpu.roll requires a non-negative shift: left-by-1 == right-by-(n-1).
+    int32 shift: a python int traces as an i64 dynamic_rotate operand
+    under x64, which Mosaic rejects."""
+    return pltpu.roll(a, jnp.int32(a.shape[1] - 1), 1)
 
 
 def _roll_r(a):
     """out[:, p] = a[:, p-1]; first lane wraps."""
-    return pltpu.roll(a, 1, 1)
+    return pltpu.roll(a, jnp.int32(1), 1)
 
 
 def _kernel(t_ref, q_ref, tl_ref, ql_ref, score_ref, te_ref, qe_ref,
@@ -67,33 +73,40 @@ def _kernel(t_ref, q_ref, tl_ref, ql_ref, score_ref, te_ref, qe_ref,
     lane = jax.lax.broadcasted_iota(jnp.int32, (BB, W), 1)
     t_len = tl_ref[:]  # (BB, 1) int32
     q_len = ql_ref[:]
+    # strong int32 scalars: weak python ints promote through int64 under
+    # x64, and Mosaic's 64-bit convert lowering recurses
+    ninf = jnp.int32(NINF)
+    pad = jnp.int32(PAD)
 
     # --- initial state: mirrors extend_batch (xdrop.py:78-99), lo = 0 ---
     # diag 0: D[0][0] = 0 at p=0; diag 1: the two gap cells
-    a1 = jnp.where(lane == 0, jnp.int32(0), NINF)
+    a1 = jnp.where(lane == 0, jnp.int32(0), ninf)
     a2 = jnp.where(
-        lane == 0, jnp.where(q_len >= 1, jnp.int32(gap), NINF),
-        jnp.where(lane == 1, jnp.where(t_len >= 1, jnp.int32(gap), NINF), NINF),
+        lane == 0, jnp.where(q_len >= 1, jnp.int32(gap), ninf),
+        jnp.where(lane == 1, jnp.where(t_len >= 1, jnp.int32(gap), ninf), ninf),
     )
     # char windows for diag d=2: twin[p] = T[p-1], qwin[p] = Q[1-p]
     thead = t_ref[:, :W].astype(jnp.int32)
-    twin = jnp.where(lane == 0, PAD, _roll_r(thead))
+    twin = jnp.where(lane == 0, pad, _roll_r(thead))
     qhead = q_ref[:, :128].astype(jnp.int32)
     q0 = qhead[:, 0:1]
     q1 = qhead[:, 1:2]
-    qwin = jnp.where(lane == 0, q1, jnp.where(lane == 1, q0, PAD))
+    qwin = jnp.where(lane == 0, q1, jnp.where(lane == 1, q0, pad))
 
     best = jnp.zeros((BB, 1), jnp.int32)
     best_t = jnp.zeros((BB, 1), jnp.int32)
     best_q = jnp.zeros((BB, 1), jnp.int32)
-    alive = (t_len + q_len) > 0
+    # alive is carried as int32 0/1: Mosaic cannot legalize loop-carried
+    # i1 vectors (scf.yield layout mismatch)
+    alive = ((t_len + q_len) > 0).astype(jnp.int32)
 
     def step(s, st):
         (a1, a2, twin, qwin, tfeed, qfeed, best, best_t, best_q,
          alive, d) = st
+        one = jnp.int32(1)
         lo = _lo(d, W)
-        dlt1 = lo - _lo(d - 1, W)          # lo(d) - lo(d-1)
-        dlt2 = _lo(d + 1, W) - lo          # lo(d+1) - lo(d)
+        dlt1 = lo - _lo(d - one, W)        # lo(d) - lo(d-1)
+        dlt2 = _lo(d + one, W) - lo        # lo(d+1) - lo(d)
 
         sub = jnp.where(twin == qwin, jnp.int32(match), jnp.int32(mismatch))
         # predecessors (extend_batch convention, xdrop.py:119-137) with
@@ -102,19 +115,19 @@ def _kernel(t_ref, q_ref, tl_ref, ql_ref, score_ref, te_ref, qe_ref,
         # diag shift is dlt1 + (lo(d-1)-lo(d-2)) - 1; since lo advances at
         # most every other step, lo(d)-lo(d-2) = dlt1 + dlt0 where at most
         # one of them is 1: shift_d = lo(d) - lo(d-2) - 1.
-        shift_d = lo - _lo(d - 2, W) - 1
+        shift_d = lo - _lo(d - jnp.int32(2), W) - one
         diag_pred = jnp.where(
-            shift_d == -1, jnp.where(lane == 0, NINF, _roll_r(a1)),
+            shift_d == -1, jnp.where(lane == 0, ninf, _roll_r(a1)),
             jnp.where(
                 shift_d == 0, a1,
-                jnp.where(lane == W - 1, NINF, _roll_l(a1)),
+                jnp.where(lane == W - 1, ninf, _roll_l(a1)),
             ),
         )
         gq_pred = jnp.where(
-            dlt1 == 1, a2, jnp.where(lane == 0, NINF, _roll_r(a2))
+            dlt1 == 1, a2, jnp.where(lane == 0, ninf, _roll_r(a2))
         )
         gt_pred = jnp.where(
-            dlt1 == 1, jnp.where(lane == W - 1, NINF, _roll_l(a2)), a2
+            dlt1 == 1, jnp.where(lane == W - 1, ninf, _roll_l(a2)), a2
         )
         a3 = jnp.maximum(
             diag_pred + sub, jnp.maximum(gq_pred, gt_pred) + jnp.int32(gap)
@@ -122,17 +135,19 @@ def _kernel(t_ref, q_ref, tl_ref, ql_ref, score_ref, te_ref, qe_ref,
         i = lo + lane
         j = d - i
         valid = (i <= t_len) & (j >= 0) & (j <= q_len)
-        a3 = jnp.where(valid, jnp.maximum(a3, NINF), NINF)
+        a3 = jnp.where(valid, jnp.maximum(a3, ninf), ninf)
 
         cur = jnp.max(a3, axis=1, keepdims=True)
         argp = jnp.min(
             jnp.where(a3 == cur, lane, jnp.int32(W)), axis=1, keepdims=True
         )
-        improved = alive & (cur > best)
+        improved = (alive > 0) & (cur > best)
         best = jnp.where(improved, cur, best)
         best_t = jnp.where(improved, lo + argp, best_t)
         best_q = jnp.where(improved, d - (lo + argp), best_q)
-        alive = alive & (cur >= best - jnp.int32(xdrop)) & (d < t_len + q_len)
+        alive = (
+            (alive > 0) & (cur >= best - jnp.int32(xdrop)) & (d < t_len + q_len)
+        ).astype(jnp.int32)
 
         # window + feed updates for diag d+1 (consume T when the band
         # advances, Q when it does not — strictly in sequence order)
@@ -145,19 +160,29 @@ def _kernel(t_ref, q_ref, tl_ref, ql_ref, score_ref, te_ref, qe_ref,
         qfeed = jnp.where(adv, qfeed, _roll_l(qfeed))
 
         return (a2, a3, twin, qwin, tfeed, qfeed, best, best_t,
-                best_q, alive, d + 1)
+                best_q, alive, d + one)
+
+    def load_feed(ref, ptr):
+        """Feed refill at an arbitrary offset: Mosaic only allows dynamic
+        lane offsets that are 128-aligned, so load an aligned 256-wide
+        window and rotate the wanted CHUNK chars to the front."""
+        base = pl.multiple_of((ptr >> jnp.int32(7)) << jnp.int32(7), 128)
+        win = ref[:, pl.ds(base, 256)].astype(jnp.int32)
+        off = ptr - base  # in [0, 128)
+        rot = pltpu.roll(win, (jnp.int32(256) - off) % jnp.int32(256), 1)
+        return rot[:, :CHUNK]
 
     def chunk(st):
         (a1, a2, twin, qwin, best, best_t, best_q, alive, d, t_ptr,
          q_ptr, c) = st
-        # refill both feeds: ONE shared-offset dynamic slice each
-        tfeed = t_ref[:, pl.ds(t_ptr, CHUNK)].astype(jnp.int32)
-        qfeed = q_ref[:, pl.ds(q_ptr, CHUNK)].astype(jnp.int32)
+        tfeed = load_feed(t_ref, t_ptr)
+        qfeed = load_feed(q_ref, q_ptr)
         out = jax.lax.fori_loop(
-            0, CHUNK, step,
+            jnp.int32(0), jnp.int32(CHUNK), step,  # i32 counter: x64 would
+            # trace python bounds as an i64 loop var Mosaic cannot return
             (a1, a2, twin, qwin, tfeed, qfeed, best, best_t, best_q,
              alive, d),
-            unroll=4,
+            unroll=1,  # Mosaic fori supports only unroll=1 or full
         )
         (a1, a2, twin, qwin, _tf, _qf, best, best_t, best_q, alive,
          d_end) = out
@@ -166,10 +191,13 @@ def _kernel(t_ref, q_ref, tl_ref, ql_ref, score_ref, te_ref, qe_ref,
         t_ptr = t_ptr + adv
         q_ptr = q_ptr + (jnp.int32(CHUNK) - adv)
         return (a1, a2, twin, qwin, best, best_t, best_q, alive, d_end,
-                t_ptr, q_ptr, c + 1)
+                t_ptr, q_ptr, c + jnp.int32(1))
 
     def cond(st):
-        return jnp.any(st[7]) & (st[11] < max_chunks)
+        # int32 reduction, not jnp.any: Mosaic lowers bool reductions via
+        # floats, which become float64 under x64 and fail to scalarize
+        any_alive = jnp.max(st[7]) > 0
+        return any_alive & (st[11] < jnp.int32(max_chunks))
 
     st = (a1, a2, twin, qwin, best, best_t, best_q, alive,
           jnp.int32(2), jnp.int32(W - 1), jnp.int32(2), jnp.int32(0))
@@ -211,7 +239,9 @@ def extend_batch_pallas(
     # Sequences are widened to int32: (8, L) int8 tiles are below the
     # native int8 sublane count (32) and lower poorly.
     Bp = -(-B // BB) * BB
-    Lp = -(-(max(L, W) + W + 2 * CHUNK) // 128) * 128
+    # margin: feed windows read up to 256 past the furthest pointer, and
+    # q_ptr can reach ~L + W before the x-drop kills the last pair
+    Lp = -(-(max(L, W) + W + 2 * CHUNK + 256) // 128) * 128
     Tp = jnp.full((Bp, Lp), PAD, jnp.int32)
     Tp = Tp.at[:B, :L].set(T.astype(jnp.int32))
     Qp = jnp.full((Bp, Lp), PAD, jnp.int32)
@@ -223,8 +253,11 @@ def extend_batch_pallas(
         _kernel, W=W, xdrop=int(xdrop), match=match, mismatch=mismatch,
         gap=gap, max_chunks=max_chunks,
     )
-    blk = pl.BlockSpec((BB, Lp), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    blk1 = pl.BlockSpec((BB, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    # index maps return typed zeros: a python 0 traces as i64 under x64,
+    # which Mosaic cannot return from the index-map func
+    zero = lambda i: (i, jnp.int32(0))
+    blk = pl.BlockSpec((BB, Lp), zero, memory_space=pltpu.VMEM)
+    blk1 = pl.BlockSpec((BB, 1), zero, memory_space=pltpu.VMEM)
     score, te, qe = pl.pallas_call(
         kernel,
         grid=(Bp // BB,),
