@@ -178,11 +178,11 @@ def _kernel(t_ref, q_ref, tl_ref, ql_ref, score_ref, te_ref, qe_ref,
         tfeed = load_feed(t_ref, t_ptr)
         qfeed = load_feed(q_ref, q_ptr)
         out = jax.lax.fori_loop(
-            jnp.int32(0), jnp.int32(CHUNK), step,  # i32 counter: x64 would
-            # trace python bounds as an i64 loop var Mosaic cannot return
+            0, CHUNK, step,  # static bounds: full unroll, no loop var left
             (a1, a2, twin, qwin, tfeed, qfeed, best, best_t, best_q,
              alive, d),
-            unroll=1,  # Mosaic fori supports only unroll=1 or full
+            unroll=CHUNK,  # Mosaic fori supports only unroll=1 or full;
+            # full unroll removes per-step loop overhead
         )
         (a1, a2, twin, qwin, _tf, _qf, best, best_t, best_q, alive,
          d_end) = out
