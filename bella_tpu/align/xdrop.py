@@ -227,7 +227,8 @@ def _gather_suffix(S, start, length, L):
     return jnp.where(ok, jnp.take_along_axis(S, jnp.clip(idx, 0, L - 1), axis=1), PAD_CHAR)
 
 
-def _prepare_extensions(reads_dev, lens_dev, bh, bv, ph_raw, pv, rc, k: int):
+def _prepare_extensions(reads_dev, lens_dev, bh, bv, ph_raw, pv, rc, k: int,
+                        valid=None):
     """Strand correction + left/right extension sequence gathers.
 
     Strand handling follows xavierAlign (include/align.hpp:152-202): if
@@ -240,6 +241,11 @@ def _prepare_extensions(reads_dev, lens_dev, bh, bv, ph_raw, pv, rc, k: int):
     V = reads_dev[bv]
     len_h = lens_dev[bh]
     len_v = lens_dev[bv]
+    if valid is not None:
+        # batch-padding rows get zero lengths: they die on the first
+        # antidiagonal instead of re-aligning a real pair
+        len_h = jnp.where(valid, len_h, 0)
+        len_v = jnp.where(valid, len_v, 0)
     B, L = h_seq.shape
 
     idx = len_h[:, None] - 1 - jnp.arange(L, dtype=jnp.int32)[None, :]
@@ -276,12 +282,14 @@ def _combine_extensions(ext, left, right):
 
 @partial(jax.jit, static_argnames=("band", "kmer_size"))
 def _seed_extend_batch(
-    reads_dev, lens_dev, bh, bv, ph_raw, pv, rc, xdrop,
+    reads_dev, lens_dev, bh, bv, ph_raw, pv, rc, valid, xdrop,
     kmer_size: int, band: int,
 ):
     """Both-direction extension of one seed per pair, fused with the
     sequence gathers and strand correction (one dispatch per batch)."""
-    ext = _prepare_extensions(reads_dev, lens_dev, bh, bv, ph_raw, pv, rc, kmer_size)
+    ext = _prepare_extensions(
+        reads_dev, lens_dev, bh, bv, ph_raw, pv, rc, kmer_size, valid
+    )
     L = ext["L"]
     left = extend_batch(
         ext["lt"], ext["lt_len"], ext["lq"], ext["lq_len"], xdrop,
@@ -296,14 +304,16 @@ def _seed_extend_batch(
 
 @partial(jax.jit, static_argnames=("xdrop", "kmer_size", "band", "interpret"))
 def _seed_extend_batch_pallas(
-    reads_dev, lens_dev, bh, bv, ph_raw, pv, rc,
+    reads_dev, lens_dev, bh, bv, ph_raw, pv, rc, valid,
     xdrop: int, kmer_size: int, band: int, interpret: bool,
 ):
     """Pallas-backed variant: left and right extensions of the whole
     batch are fused into ONE kernel dispatch (2B grid blocks)."""
     from bella_tpu.align.pallas_xdrop import extend_batch_pallas
 
-    ext = _prepare_extensions(reads_dev, lens_dev, bh, bv, ph_raw, pv, rc, kmer_size)
+    ext = _prepare_extensions(
+        reads_dev, lens_dev, bh, bv, ph_raw, pv, rc, kmer_size, valid
+    )
     B = ext["lt"].shape[0]
     L = ext["L"]
     T2 = jnp.concatenate([ext["lt"], ext["rt"]])
@@ -389,6 +399,8 @@ def align_candidates(
             )
         else:
             sel_valid = batch_size
+        valid = np.zeros(batch_size, bool)
+        valid[:sel_valid] = True
         args = (
             reads_dev, lens_dev,
             jnp.asarray(pairs.read_h[sel]),
@@ -396,6 +408,7 @@ def align_candidates(
             jnp.asarray(pairs.pos_h[sel].astype(np.int32)),
             jnp.asarray(pairs.pos_v[sel].astype(np.int32)),
             jnp.asarray(pairs.seed_rc[sel]),
+            jnp.asarray(valid),
         )
         if use_pallas:
             out = _seed_extend_batch_pallas(
