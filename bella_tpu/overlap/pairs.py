@@ -397,7 +397,30 @@ def _fused_emit_packed(
         hvs.append(jnp.where(ok, hv, u32(0xFFFFFFFF)))
         k3s.append(k3)
         pvs.append(pos_v)
-    return jnp.concatenate(hvs), jnp.concatenate(k3s), jnp.concatenate(pvs)
+    hv = jnp.concatenate(hvs)
+    k3 = jnp.concatenate(k3s)
+    pv = jnp.concatenate(pvs)
+    # most emitted rows are sentinels (segments shorter than the lag):
+    # report the live count so the driver can compact before the sort
+    n_live = jnp.sum((hv != u32(0xFFFFFFFF)).astype(jnp.int32))
+    return hv, k3, pv, n_live
+
+
+@partial(jax.jit, static_argnames=("size",))
+def _gather_live(hv, k3, pv, n_live, size: int):
+    """Device-side compaction of live candidate rows: the sort and the
+    segmented scans then run on ~nnz*avg_multiplicity rows instead of
+    nnz*(upper-1) (typically ~10x fewer)."""
+    u32 = jnp.uint32
+    live = hv != u32(0xFFFFFFFF)
+    idx = jnp.nonzero(live, size=size, fill_value=hv.shape[0] - 1)[0]
+    pos = jnp.arange(size, dtype=jnp.int32)
+    keep = pos < n_live
+    return (
+        jnp.where(keep, hv[idx], u32(0xFFFFFFFF)),
+        jnp.where(keep, k3[idx], u32(0)),
+        jnp.where(keep, pv[idx], u32(0)),
+    )
 
 
 @partial(jax.jit, static_argnames=("kmer_size", "bin_size"))
@@ -509,13 +532,18 @@ def detect_overlaps(reads, config: BellaConfig):
         reads.num_reads <= 0xFFFF and max_len <= 0xFFFF and config.bin_size >= 3
     )
     if packed:
-        # two dispatches, not one merged jit: the merged emit+sort+scan
-        # program stalls this toolchain's compiler at large shapes, while
-        # the separate programs compile in ~1 min each (probe-measured)
-        hv, k3, pv = _fused_emit_packed(
+        # separate dispatches, not one merged jit: the merged
+        # emit+sort+scan program stalls this toolchain's compiler at large
+        # shapes, while the separate programs compile in ~1 min each
+        hv, k3, pv, n_live = _fused_emit_packed(
             live, sr, sp, sc, rank, lengths_dev,
             kmer_size=k, upper=config.upper_freq, bin_size=config.bin_size,
         )
+        n = int(n_live)
+        if n == 0:
+            return CandidatePairs.empty(), int(num_kmers), int(nnz)
+        size = min(1 << max(14, (n - 1).bit_length()), int(hv.shape[0]))
+        hv, k3, pv = _gather_live(hv, k3, pv, n_live, size)
         out = _chain_packed(
             hv, k3, pv, lengths_dev, kmer_size=k, bin_size=config.bin_size
         )

@@ -66,10 +66,11 @@ def test_packed_stages_match_unpacked():
         kmer_size=k, lower=cfg.lower_freq, upper=cfg.upper_freq, use_hopc=False,
     )
     lengths = jnp.asarray(reads.lengths.astype(np.int32))
-    hv, k3, pv = _fused_emit_packed(
+    hv, k3, pv, n_live = _fused_emit_packed(
         live, sr, sp, sc, rank, lengths,
         kmer_size=k, upper=cfg.upper_freq, bin_size=cfg.bin_size,
     )
+    assert int(n_live) == int(np.asarray(hv != np.uint32(0xFFFFFFFF)).sum())
     packed = _compact(_chain_packed(hv, k3, pv, lengths, kmer_size=k, bin_size=cfg.bin_size))
     h, v, b, ph, pvv, fl, ov = _fused_emit(
         live, sr, sp, sc, rank, lengths,
