@@ -49,8 +49,8 @@ def test_packed_stages_match_unpacked():
     counted stream (same pairs, seeds, counts)."""
     import jax.numpy as jnp
     from bella_tpu.overlap.pairs import (
-        _chain_packed, _chain_stage32, _compact, _fused_count, _fused_emit,
-        _fused_emit_packed,
+        _chain_packed, _chain_stage32, _compact, _compact_reliable,
+        _fused_count, _fused_emit, _fused_emit_packed,
     )
 
     g = random_genome(6000, seed=41)
@@ -66,8 +66,11 @@ def test_packed_stages_match_unpacked():
         kmer_size=k, lower=cfg.lower_freq, upper=cfg.upper_freq, use_hopc=False,
     )
     lengths = jnp.asarray(reads.lengths.astype(np.int32))
+    n = int(nnz)
+    size = min(1 << max(14, (n - 1).bit_length()), int(sr.shape[0]))
+    csr, csp, csc, crank = _compact_reliable(live, sr, sp, sc, rank, size)
     hv, k3, pv, n_live = _fused_emit_packed(
-        live, sr, sp, sc, rank, lengths,
+        jnp.int32(n), csr, csp, csc, crank, lengths,
         kmer_size=k, upper=cfg.upper_freq, bin_size=cfg.bin_size,
     )
     assert int(n_live) == int(np.asarray(hv != np.uint32(0xFFFFFFFF)).sum())
