@@ -46,15 +46,17 @@ def run_pipeline(
 
         jax.profiler.start_trace(config.profile_dir)
 
-    # fused single-dispatch path for the common configuration; the
-    # modular path handles sparse selection, split-count staging,
-    # memory-staged emission, matrix dump, and checkpoint/resume
-    expanded = (len(reads.codes) - config.kmer_size + 1) * (config.upper_freq - 1)
-    budget_rows = int(config.total_memory_mb * 1e6 / 50)
+    # fused device path for the common configuration; the modular path
+    # handles sparse selection, split-count staging, memory-staged
+    # emission, matrix dump, and checkpoint/resume. The fused path
+    # compacts reliable rows before pair emission, so its footprint is
+    # ~100 B per k-mer position (sort operands + scratch), never the
+    # expanded candidate stream.
+    m = len(reads.codes) - config.kmer_size + 1
     fused = (
         not (config.use_minimizer or config.use_syncmer)
         and config.split_count == 1
-        and expanded <= budget_rows
+        and m * 100 <= config.total_memory_mb * 1e6
         and reads.num_reads > 0
         and config.write_matrix is None
         and config.checkpoint is None
