@@ -256,8 +256,8 @@ _SENT32 = np.int32(0x7FFFFFFF)
 
 @partial(jax.jit, static_argnames=("kmer_size", "lower", "upper", "use_hopc"))
 def _fused_count(
-    codes, lengths, offsets,
-    kmer_size: int, lower: int, upper: int, use_hopc: bool,
+    codes, lengths, offsets, n_real=None,
+    kmer_size: int = 17, lower: int = 2, upper: int = 8, use_hopc: bool = False,
 ):
     """Phase 1: pack + canonicalise + sort + exact count + reliable
     filter. Output stays on device for phase 2.
@@ -277,6 +277,9 @@ def _fused_count(
     )
     rid = rid_per_base[: total - k + 1]
     valid = rid == rid_per_base[k - 1:]
+    if n_real is not None:
+        # occurrences of the shape-bucketing phantom read are masked out
+        valid = valid & (rid < n_real)
     pos = (
         jnp.arange(total - k + 1, dtype=jnp.int32)
         - offsets[:-1].astype(jnp.int32)[rid]
@@ -505,21 +508,43 @@ def _chain_stage32(h, v, bin_id, pos_h, pos_v, flip, ov, kmer_size: int):
     )
 
 
+def _size_bucket(n: int) -> int:
+    """Next size in a 8-buckets-per-octave progression (<=12.5% padding
+    waste). Bucketed input shapes keep jit cache keys stable across
+    datasets — compiles cost minutes on this toolchain."""
+    if n <= 4096:
+        return 4096
+    octave = 1 << ((n - 1).bit_length() - 1)
+    step = max(octave // 8, 1)
+    return ((n + step - 1) // step) * step
+
+
 def detect_overlaps(reads, config: BellaConfig):
-    """Fused (3-dispatch) end-to-end overlap detection for the common
+    """Fused (4-dispatch) end-to-end overlap detection for the common
     configuration (plain k-mers or HOPC, single split). Intermediates
-    never leave the device; split into three medium jits because one
-    monolithic program compiles pathologically slowly on the TPU
-    toolchain (each device sort costs ~15-45s of compile alone).
-    Returns (CandidatePairs, num_kmers, nnz)."""
+    never leave the device; split into separate medium jits because one
+    monolithic program stalls the TPU toolchain's compiler at large
+    shapes. Returns (CandidatePairs, num_kmers, nnz)."""
     k = config.kmer_size
     m = len(reads.codes) - k + 1
     if m <= 0:
         return CandidatePairs.empty(), 0, 0
+    # pad the code stream to a bucketed size with a phantom read whose
+    # occurrences are masked invalid (stable jit shapes across datasets)
+    total = len(reads.codes)
+    total_p = _size_bucket(total)
+    codes = reads.codes
+    lengths = reads.lengths.astype(np.int32)
+    offsets = reads.offsets.astype(np.int32)
+    if total_p > total:
+        codes = np.concatenate([codes, np.zeros(total_p - total, codes.dtype)])
+        lengths = np.append(lengths, np.int32(total_p - total))
+        offsets = np.append(offsets, np.int32(total_p))
     live, sr, sp, sc, rank, nnz, num_kmers = _fused_count(
-        jnp.asarray(reads.codes),
-        jnp.asarray(reads.lengths.astype(np.int32)),
-        jnp.asarray(reads.offsets.astype(np.int32)),
+        jnp.asarray(codes),
+        jnp.asarray(lengths),
+        jnp.asarray(offsets),
+        n_real=jnp.int32(reads.num_reads),
         kmer_size=k,
         lower=config.lower_freq,
         upper=config.upper_freq,
