@@ -587,14 +587,51 @@ def detect_overlaps(reads, config: BellaConfig):
     return pairs, int(num_kmers), int(nnz)
 
 
+@jax.jit
+def _rank_from_ids(kmer_ids):
+    """Within-segment rank for a kmer-id-major triple stream (device)."""
+    kb = seg.boundaries(kmer_ids)
+    ones = jnp.ones_like(kmer_ids, dtype=jnp.int32)
+    return seg.seg_cumsum(ones, kb) - 1
+
+
 def generate_candidates(
     triples: ReliableTriples, read_lengths: np.ndarray, config: BellaConfig
 ) -> CandidatePairs:
-    """Host driver: single fused stage when the expanded stream fits the
-    memory budget, else k-mer-range staging with host spill."""
+    """Host driver over a prebuilt reliable-triples matrix (the
+    minimizer/syncmer/split-count/checkpoint path). Uses the packed
+    uint32 emit+chain stages when ids/positions fit 16 bits, else the
+    u64 path; k-mer-range staging with host spill beyond the budget."""
     if triples.nnz == 0:
         return CandidatePairs.empty()
     lengths = jnp.asarray(np.asarray(read_lengths, dtype=np.int32))
+    n_reads = len(read_lengths)
+    max_len = int(np.asarray(read_lengths).max()) if n_reads else 0
+    packed = (
+        n_reads <= 0xFFFF and max_len <= 0xFFFF and config.bin_size >= 3
+        and triples.nnz * 100 <= config.total_memory_mb * 1e6
+    )
+    if packed:
+        n = triples.nnz
+        size = 1 << max(14, (n - 1).bit_length())
+        kid = _pad_to_bucket(triples.kmer_ids, size, -1)
+        rank = _rank_from_ids(jnp.asarray(kid))
+        hv, k3, pv, _ = _fused_emit_packed(
+            jnp.int32(n),
+            jnp.asarray(_pad_to_bucket(triples.read_ids, size, 0)),
+            jnp.asarray(_pad_to_bucket(triples.positions, size, 0)),
+            jnp.asarray(_pad_to_bucket(triples.is_rc, size, False)),
+            rank,
+            lengths,
+            kmer_size=config.kmer_size,
+            upper=config.upper_freq,
+            bin_size=config.bin_size,
+        )
+        out = _chain_packed(
+            hv, k3, pv, lengths,
+            kmer_size=config.kmer_size, bin_size=config.bin_size,
+        )
+        return _compact(out)
     expanded = triples.nnz * (config.upper_freq - 1)
     budget_rows = int(config.total_memory_mb * 1e6 / _ROW_BYTES)
     if expanded <= budget_rows:
