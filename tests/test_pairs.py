@@ -102,3 +102,42 @@ def test_no_self_pairs_and_triangular():
     assert (got.read_h > got.read_v).all()
     keys = got.read_h.astype(np.int64) << 32 | got.read_v
     assert len(np.unique(keys)) == got.num_pairs  # one row per pair
+
+
+def test_generate_candidates_packed_matches_u64():
+    """The packed uint32 triples path == the u64 key path (forced by a
+    tiny memory budget pushing the staged branch... no — by disabling
+    packing via bin_size < 3)."""
+    import numpy as np
+    from bella_tpu import BellaConfig
+    from bella_tpu.io.simulate import random_genome, sample_reads
+    from bella_tpu.kmers import build_reliable_triples, extract_occurrences
+    from bella_tpu.overlap.pairs import generate_candidates
+
+    g = random_genome(8000, seed=51)
+    reads, _ = sample_reads(
+        g, 30, mean_len=1000, min_len=500, error_rate=0.1, seed=52, circular=False
+    )
+    cfg = BellaConfig()
+    tri = build_reliable_triples(reads, cfg, extract_occurrences(reads, cfg))
+    a = generate_candidates(tri, reads.lengths, cfg)  # packed
+
+    cfg2 = BellaConfig(bin_size=2)  # < 3 disables packing -> u64 path
+    cfg_pack2 = BellaConfig(bin_size=2)
+    b = generate_candidates(tri, reads.lengths, cfg2)  # u64 path, bin 2
+    # compare like-for-like: rerun packed-eligible config at bin 500 vs
+    # u64 path at bin 500 by lowering the memory budget to skip packing
+    cfg3 = BellaConfig(total_memory_mb=0.001)
+    c = generate_candidates(tri, reads.lengths, cfg3)  # staged u64 path
+
+    def as_map(p):
+        return {
+            (int(p.read_h[i]), int(p.read_v[i])): (
+                int(p.count[i]), int(p.matches[i]), int(p.overlap_est[i]),
+                int(p.pos_h[i]), int(p.pos_v[i]), bool(p.seed_rc[i]),
+            )
+            for i in range(p.num_pairs)
+        }
+
+    assert as_map(a) == as_map(c)
+    assert b.num_pairs > 0
