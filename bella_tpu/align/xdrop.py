@@ -383,10 +383,16 @@ def align_candidates(
         interpret = use_pallas and _jax.default_backend() != "tpu"
     pallas_band = int(getattr(config, "pallas_band", 256))
 
-    # order by longer read of the pair so device batches are
-    # length-homogeneous (lockstep while_loop wastes less)
-    pair_len = np.maximum(read_lengths[pairs.read_h], read_lengths[pairs.read_v])
-    order = np.argsort(pair_len, kind="stable")
+    # order by estimated overlap so device blocks are homogeneous in the
+    # number of wavefront steps they run (a lockstep block lives until
+    # its slowest pair dies); fall back to read length when no estimate
+    if pairs.overlap_est.size and pairs.overlap_est.max() > 0:
+        order = np.argsort(pairs.overlap_est, kind="stable")
+    else:
+        pair_len = np.maximum(
+            read_lengths[pairs.read_h], read_lengths[pairs.read_v]
+        )
+        order = np.argsort(pair_len, kind="stable")
 
     for s in range(0, P, batch_size):
         sel = order[s : s + batch_size]
