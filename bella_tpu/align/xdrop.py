@@ -320,10 +320,16 @@ def _seed_extend_batch_pallas(
     Q2 = jnp.concatenate([ext["lq"], ext["rq"]])
     tl2 = jnp.concatenate([ext["lt_len"], ext["rt_len"]])
     ql2 = jnp.concatenate([ext["lq_len"], ext["rq_len"]])
+    # sort rows by wavefront step count (t+q length): an 8-row lockstep
+    # block runs until its slowest member dies, so blocks must be
+    # step-homogeneous; left/right extensions of one seed differ wildly
+    order = jnp.argsort(tl2 + ql2)
+    inv = jnp.argsort(order)
     out = extend_batch_pallas(
-        T2, tl2, Q2, ql2, xdrop, band=band, max_steps=2 * L,
-        interpret=interpret,
+        T2[order], tl2[order], Q2[order], ql2[order], xdrop,
+        band=band, max_steps=2 * L, interpret=interpret,
     )
+    out = {k2: v[inv] for k2, v in out.items()}
     left = {k2: v[:B] for k2, v in out.items()}
     right = {k2: v[B:] for k2, v in out.items()}
     return _combine_extensions(ext, left, right)
