@@ -61,9 +61,11 @@ def _route(keys, dest, payload, capacity: int):
     """
     n = jax.lax.axis_size(AXIS)
     m = dest.shape[0]
-    order = jnp.argsort(dest)
-    dest_s = dest[order]
-    payload_s = tuple(a[order] for a in payload)
+    # one multi-operand sort, not argsort+gathers (gathers are the slow
+    # path on this toolchain; see utils/segments.py rationale)
+    sorted_all = jax.lax.sort((dest,) + tuple(payload), num_keys=1)
+    dest_s = sorted_all[0]
+    payload_s = sorted_all[1:]
 
     # bucket b occupies [starts[b], starts[b+1]) in the sorted order
     starts = jnp.searchsorted(dest_s, jnp.arange(n + 1, dtype=dest_s.dtype))
