@@ -272,6 +272,11 @@ def _fused_count(
     from bella_tpu.seq.encode import canonical_kmers, hopc_kmers, pack_kmers
 
     k = kmer_size
+    if codes.dtype == jnp.uint8 and codes.ndim == 2:
+        # codes arrive 2-bit packed 4/byte (4x smaller host->device
+        # transfer over the relay); unpack on device
+        shifts = jnp.arange(4, dtype=jnp.uint8)[None, :] * jnp.uint8(2)
+        codes = ((codes >> shifts) & jnp.uint8(3)).reshape(-1)
     total = codes.shape[0]
     nreads = lengths.shape[0]
     rid_per_base = jnp.repeat(
@@ -542,8 +547,13 @@ def detect_overlaps(reads, config: BellaConfig):
         codes = np.concatenate([codes, np.zeros(total_p - total, codes.dtype)])
         lengths = np.append(lengths, np.int32(total_p - total))
         offsets = np.append(offsets, np.int32(total_p))
+    # 2-bit pack for the upload (bucket sizes are multiples of 4)
+    c4 = codes.reshape(-1, 4).astype(np.uint8)
+    codes_packed = (
+        c4[:, 0] | (c4[:, 1] << 2) | (c4[:, 2] << 4) | (c4[:, 3] << 6)
+    ).reshape(-1, 1)
     live, sr, sp, sc, rank, nnz, num_kmers = _fused_count(
-        jnp.asarray(codes),
+        jnp.asarray(codes_packed),
         jnp.asarray(lengths),
         jnp.asarray(offsets),
         n_real=jnp.int32(reads.num_reads),
