@@ -68,3 +68,61 @@ def test_paf_cli(tmp_path):
     assert len(rows) == 1
     v = rows[0].split("\t")
     assert len(v) == 12 and v[4] == "-"
+
+
+def test_hifi_config_cli(tmp_path):
+    """The BASELINE HiFi configuration: low error, split-count passes,
+    PAF output (reference flags --error 0.005 --split-count N --paf)."""
+    import numpy as np
+    from bella_tpu.io.simulate import random_genome, sample_reads, write_fastq
+    from bella_tpu.cli import main
+
+    g = random_genome(12000, seed=71)
+    reads, _ = sample_reads(
+        g, 40, mean_len=1500, min_len=800, error_rate=0.005, seed=72,
+        circular=False,
+    )
+    fq = tmp_path / "hifi.fastq"
+    write_fastq(str(fq), reads)
+    out = tmp_path / "hifi"
+    rc = main([
+        "-f", str(fq), "-o", str(out), "-k", "17", "-e", "0.005",
+        "--split-count", "3", "--paf",
+    ])
+    assert rc == 0
+    rows = (tmp_path / "hifi.out").read_text().splitlines()
+    assert rows, "HiFi run produced no overlaps"
+    f = rows[0].split("\t")
+    # PAF: qname qlen qstart qend strand tname tlen tstart tend ...
+    assert len(f) >= 12 and f[4] in "+-"
+    assert int(f[3]) > int(f[2]) and int(f[8]) > int(f[7])
+
+
+def test_multi_fastq_fofn(tmp_path):
+    """Multiple fastq files via fofn concatenate with correct read ids."""
+    from bella_tpu.io.simulate import random_genome, sample_reads, write_fastq
+    from bella_tpu.cli import main
+
+    g = random_genome(8000, seed=73)
+    reads, _ = sample_reads(
+        g, 30, mean_len=1200, min_len=600, error_rate=0.1, seed=74,
+        circular=False,
+    )
+    # split into two files
+    from bella_tpu.io.fastq import ReadSet
+
+    half = reads.num_reads // 2
+    seqs = [reads.sequence(i) for i in range(reads.num_reads)]
+    a = ReadSet.from_sequences(seqs[:half], reads.names[:half])
+    b = ReadSet.from_sequences(seqs[half:], reads.names[half:])
+    write_fastq(str(tmp_path / "a.fastq"), a)
+    write_fastq(str(tmp_path / "b.fastq"), b)
+    fofn = tmp_path / "in.txt"
+    fofn.write_text(f"{tmp_path}/a.fastq\n{tmp_path}/b.fastq\n")
+    out = tmp_path / "multi"
+    rc = main(["-f", str(fofn), "-o", str(out), "-k", "17", "--skip-alignment"])
+    assert rc == 0
+    rows = (tmp_path / "multi.out").read_text().splitlines()
+    assert rows
+    names = {n for r in rows for n in r.split()[:2]}
+    assert names <= set(reads.names)
