@@ -7,8 +7,8 @@ LOGAN's CUDA kernel (loganGPU/functions.cuh:223-408, one alignment per
 thread block). TPUs have a single scalar unit per core, so the design
 goal is ZERO per-step scalar/dynamic-index work:
 
-  * one grid cell advances 8 alignments in lockstep — pairs on the
-    sublane axis, the band (W lanes) on the lane axis;
+  * one grid cell advances a block of alignments in lockstep — pairs on
+    the sublane axis, the band (W lanes) on the lane axis;
   * the band follows a STATIC centered trajectory: the band offset
     ``lo(d) = max(0, (d - W + 1) // 2)`` is a shared scalar function of
     the antidiagonal index, not a per-pair adaptive quantity (the
@@ -17,17 +17,21 @@ goal is ZERO per-step scalar/dynamic-index work:
     band cells are cheap on the VPU, per-pair scalar divergence is not);
   * sequence characters enter the band windows strictly in order, so
     they stream through small rolling feed buffers refilled once per
-    S-step chunk by a single dynamic lane-slice whose offset is shared
-    by all 8 pairs;
+    chunk by a single dynamic lane-slice whose offset is shared by the
+    whole block;
   * x-drop termination latches per pair inside the chunk and the
-    while-loop exits when every pair in the block is dead.
+    while-loop exits when every pair in the block is dead;
+  * when every antidiagonal index fits 16 bits (reads <= ~15 kbp), the
+    DP state runs in int16 at 16 pairs/block — double lane density, the
+    moral equivalent of Xavier's int8 lanes (xavier/simdutils.h:22-42)
+    but without its score renormalisation: scores are clamped at a
+    floor far below any x-drop threshold, so results stay exact.
 
-Scores are exact (int32, no int8 renormalisation as in
-xavier/xavier.h:152-158); the only deviation from the pure-JAX
-``extend_batch`` is the band trajectory, which can differ once the
-optimal path drifts more than W/2 off the main diagonal — with the
-default W=256 that is far beyond the diagonal drift of real long-read
-error processes (the reference ships W=31).
+The only deviation from the pure-JAX ``extend_batch`` is the band
+trajectory, which can differ once the optimal path drifts more than W/2
+off the main diagonal — with the default W=256 that is far beyond the
+diagonal drift of real long-read error processes (the reference ships
+W=31).
 """
 
 from __future__ import annotations
@@ -39,11 +43,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-NINF = -(1 << 20)  # python ints: jnp scalars would be captured tracers
+NINF32 = -(1 << 20)   # python ints: jnp scalars would be captured tracers
+NINF16 = -20000       # one more gap/mismatch add cannot wrap int16
 PAD = 127
 
-BB = 8          # pairs per block (sublane axis)
 CHUNK = 64      # steps per feed refill / termination check
+I16_MAX_D = 30000  # use int16 DP while max diagonal (t_len+q_len) fits
 
 
 def _lo(d, W):
@@ -69,33 +74,37 @@ def _roll_r(a):
 
 
 def _kernel(t_ref, q_ref, tl_ref, ql_ref, score_ref, te_ref, qe_ref,
-            *, W, xdrop, match, mismatch, gap, max_chunks):
-    lane = jax.lax.broadcasted_iota(jnp.int32, (BB, W), 1)
-    t_len = tl_ref[:]  # (BB, 1) int32
+            *, W, xdrop, match, mismatch, gap, max_chunks, bb, use_i16):
+    sdt = jnp.int16 if use_i16 else jnp.int32
+    lane = jax.lax.broadcasted_iota(sdt, (bb, W), 1)
+    lane32 = jax.lax.broadcasted_iota(jnp.int32, (bb, W), 1)
+    t_len = tl_ref[:]  # (bb, 1) int32
     q_len = ql_ref[:]
-    # strong int32 scalars: weak python ints promote through int64 under
+    t_len_s = t_len.astype(sdt)
+    q_len_s = q_len.astype(sdt)
+    # strong typed scalars: weak python ints promote through int64 under
     # x64, and Mosaic's 64-bit convert lowering recurses
-    ninf = jnp.int32(NINF)
-    pad = jnp.int32(PAD)
+    ninf = sdt(NINF16 if use_i16 else NINF32)
+    pad = sdt(PAD)
 
     # --- initial state: mirrors extend_batch (xdrop.py:78-99), lo = 0 ---
     # diag 0: D[0][0] = 0 at p=0; diag 1: the two gap cells
-    a1 = jnp.where(lane == 0, jnp.int32(0), ninf)
+    a1 = jnp.where(lane == 0, sdt(0), ninf)
     a2 = jnp.where(
-        lane == 0, jnp.where(q_len >= 1, jnp.int32(gap), ninf),
-        jnp.where(lane == 1, jnp.where(t_len >= 1, jnp.int32(gap), ninf), ninf),
+        lane == 0, jnp.where(q_len_s >= 1, sdt(gap), ninf),
+        jnp.where(lane == 1, jnp.where(t_len_s >= 1, sdt(gap), ninf), ninf),
     )
     # char windows for diag d=2: twin[p] = T[p-1], qwin[p] = Q[1-p]
-    thead = t_ref[:, :W].astype(jnp.int32)
+    thead = t_ref[:, :W].astype(sdt)
     twin = jnp.where(lane == 0, pad, _roll_r(thead))
-    qhead = q_ref[:, :128].astype(jnp.int32)
+    qhead = q_ref[:, :128].astype(sdt)
     q0 = qhead[:, 0:1]
     q1 = qhead[:, 1:2]
     qwin = jnp.where(lane == 0, q1, jnp.where(lane == 1, q0, pad))
 
-    best = jnp.zeros((BB, 1), jnp.int32)
-    best_t = jnp.zeros((BB, 1), jnp.int32)
-    best_q = jnp.zeros((BB, 1), jnp.int32)
+    best = jnp.zeros((bb, 1), jnp.int32)
+    best_t = jnp.zeros((bb, 1), jnp.int32)
+    best_q = jnp.zeros((bb, 1), jnp.int32)
     # alive is carried as int32 0/1: Mosaic cannot legalize loop-carried
     # i1 vectors (scf.yield layout mismatch)
     alive = ((t_len + q_len) > 0).astype(jnp.int32)
@@ -108,13 +117,10 @@ def _kernel(t_ref, q_ref, tl_ref, ql_ref, score_ref, te_ref, qe_ref,
         dlt1 = lo - _lo(d - one, W)        # lo(d) - lo(d-1)
         dlt2 = _lo(d + one, W) - lo        # lo(d+1) - lo(d)
 
-        sub = jnp.where(twin == qwin, jnp.int32(match), jnp.int32(mismatch))
+        sub = jnp.where(twin == qwin, sdt(match), sdt(mismatch))
         # predecessors (extend_batch convention, xdrop.py:119-137) with
-        # SCALAR dlt selects instead of per-row ones. Note dlt1 here is
-        # lo(d)-lo(d-1) (= extend_batch's dlt2 applied last step) and the
-        # diag shift is dlt1 + (lo(d-1)-lo(d-2)) - 1; since lo advances at
-        # most every other step, lo(d)-lo(d-2) = dlt1 + dlt0 where at most
-        # one of them is 1: shift_d = lo(d) - lo(d-2) - 1.
+        # SCALAR dlt selects instead of per-row ones. shift_d =
+        # lo(d) - lo(d-2) - 1 (at most one of the two deltas is 1).
         shift_d = lo - _lo(d - jnp.int32(2), W) - one
         diag_pred = jnp.where(
             shift_d == -1, jnp.where(lane == 0, ninf, _roll_r(a1)),
@@ -130,16 +136,21 @@ def _kernel(t_ref, q_ref, tl_ref, ql_ref, score_ref, te_ref, qe_ref,
             dlt1 == 1, jnp.where(lane == W - 1, ninf, _roll_l(a2)), a2
         )
         a3 = jnp.maximum(
-            diag_pred + sub, jnp.maximum(gq_pred, gt_pred) + jnp.int32(gap)
+            diag_pred + sub, jnp.maximum(gq_pred, gt_pred) + sdt(gap)
         )
-        i = lo + lane
-        j = d - i
-        valid = (i <= t_len) & (j >= 0) & (j <= q_len)
+        # DP-matrix validity, entirely in the state dtype (d fits int16
+        # in i16 mode by the I16_MAX_D guard)
+        i = lo.astype(sdt) + lane
+        j = d.astype(sdt) - i
+        valid = (i <= t_len_s) & (j >= 0) & (j <= q_len_s)
         a3 = jnp.where(valid, jnp.maximum(a3, ninf), ninf)
 
-        cur = jnp.max(a3, axis=1, keepdims=True)
+        # reductions in int32 (Mosaic has no int16 reductions)
+        a3_32 = a3.astype(jnp.int32)
+        cur = jnp.max(a3_32, axis=1, keepdims=True)
         argp = jnp.min(
-            jnp.where(a3 == cur, lane, jnp.int32(W)), axis=1, keepdims=True
+            jnp.where(a3_32 == cur, lane32, jnp.int32(W)),
+            axis=1, keepdims=True,
         )
         improved = (alive > 0) & (cur > best)
         best = jnp.where(improved, cur, best)
@@ -167,7 +178,7 @@ def _kernel(t_ref, q_ref, tl_ref, ql_ref, score_ref, te_ref, qe_ref,
         lane offsets that are 128-aligned, so load an aligned 256-wide
         window and rotate the wanted CHUNK chars to the front."""
         base = pl.multiple_of((ptr >> jnp.int32(7)) << jnp.int32(7), 128)
-        win = ref[:, pl.ds(base, 256)].astype(jnp.int32)
+        win = ref[:, pl.ds(base, 256)].astype(sdt)
         off = ptr - base  # in [0, 128)
         rot = pltpu.roll(win, (jnp.int32(256) - off) % jnp.int32(256), 1)
         return rot[:, :CHUNK]
@@ -178,7 +189,7 @@ def _kernel(t_ref, q_ref, tl_ref, ql_ref, score_ref, te_ref, qe_ref,
         tfeed = load_feed(t_ref, t_ptr)
         qfeed = load_feed(q_ref, q_ptr)
         out = jax.lax.fori_loop(
-            0, CHUNK, step,  # static bounds: full unroll, no loop var left
+            0, CHUNK, step,
             (a1, a2, twin, qwin, tfeed, qfeed, best, best_t, best_q,
              alive, d),
             unroll=CHUNK,  # Mosaic fori supports only unroll=1 or full;
@@ -234,33 +245,42 @@ def extend_batch_pallas(
         max_steps = 2 * L
     max_chunks = -(-int(max_steps) // CHUNK) + 1
 
-    # pad: B to blocks of BB; L so windows/feeds never read out of range
+    # int16 DP (16 pairs/block, double lane density) is implemented and
+    # interpret-verified, but DISABLED: this Mosaic build cannot rotate
+    # non-32-bit vectors ("Rotate with non-32-bit data") and the kernel
+    # rolls windows every step. Revisit with bitcast-to-i32 rolls
+    # (ROADMAP.md item 1).
+    use_i16 = False and 2 * L + CHUNK < I16_MAX_D
+    bb = 16 if use_i16 else 8
+    seq_dt = jnp.int16 if use_i16 else jnp.int32
+
+    # pad: B to blocks of bb; L so windows/feeds never read out of range
     # (T chars consumed <= lo(d_max) + W + CHUNK <= max_steps//2 + W + CHUNK).
-    # Sequences are widened to int32: (8, L) int8 tiles are below the
-    # native int8 sublane count (32) and lower poorly.
-    Bp = -(-B // BB) * BB
+    # Sequences are widened from int8: sub-native-sublane int8 tiles
+    # lower poorly.
+    Bp = -(-B // bb) * bb
     # margin: feed windows read up to 256 past the furthest pointer, and
     # q_ptr can reach ~L + W before the x-drop kills the last pair
     Lp = -(-(max(L, W) + W + 2 * CHUNK + 256) // 128) * 128
-    Tp = jnp.full((Bp, Lp), PAD, jnp.int32)
-    Tp = Tp.at[:B, :L].set(T.astype(jnp.int32))
-    Qp = jnp.full((Bp, Lp), PAD, jnp.int32)
-    Qp = Qp.at[:B, :L].set(Q.astype(jnp.int32))
+    Tp = jnp.full((Bp, Lp), PAD, seq_dt)
+    Tp = Tp.at[:B, :L].set(T.astype(seq_dt))
+    Qp = jnp.full((Bp, Lp), PAD, seq_dt)
+    Qp = Qp.at[:B, :L].set(Q.astype(seq_dt))
     tl = jnp.zeros((Bp, 1), jnp.int32).at[:B, 0].set(t_len.astype(jnp.int32))
     ql = jnp.zeros((Bp, 1), jnp.int32).at[:B, 0].set(q_len.astype(jnp.int32))
 
     kernel = functools.partial(
         _kernel, W=W, xdrop=int(xdrop), match=match, mismatch=mismatch,
-        gap=gap, max_chunks=max_chunks,
+        gap=gap, max_chunks=max_chunks, bb=bb, use_i16=use_i16,
     )
     # index maps return typed zeros: a python 0 traces as i64 under x64,
     # which Mosaic cannot return from the index-map func
     zero = lambda i: (i, jnp.int32(0))
-    blk = pl.BlockSpec((BB, Lp), zero, memory_space=pltpu.VMEM)
-    blk1 = pl.BlockSpec((BB, 1), zero, memory_space=pltpu.VMEM)
+    blk = pl.BlockSpec((bb, Lp), zero, memory_space=pltpu.VMEM)
+    blk1 = pl.BlockSpec((bb, 1), zero, memory_space=pltpu.VMEM)
     score, te, qe = pl.pallas_call(
         kernel,
-        grid=(Bp // BB,),
+        grid=(Bp // bb,),
         in_specs=[blk, blk, blk1, blk1],
         out_specs=[blk1, blk1, blk1],
         out_shape=[jax.ShapeDtypeStruct((Bp, 1), jnp.int32)] * 3,
