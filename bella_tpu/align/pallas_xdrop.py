@@ -62,15 +62,16 @@ def _lo(d, W):
 
 def _roll_l(a):
     """out[:, p] = a[:, p+1]; last lane wraps (caller overwrites/masks).
-    pltpu.roll requires a non-negative shift: left-by-1 == right-by-(n-1).
-    int32 shift: a python int traces as an i64 dynamic_rotate operand
-    under x64, which Mosaic rejects."""
-    return pltpu.roll(a, jnp.int32(a.shape[1] - 1), 1)
+    Static concatenate shifts: pltpu.roll with a python shift traces as
+    an i64 dynamic_rotate under x64 (Mosaic rejects it) and a traced
+    int32 shift stays a runtime dynamic_rotate; the concat form is a
+    compile-time-known lane shift."""
+    return jnp.concatenate([a[:, 1:], a[:, :1]], axis=1)
 
 
 def _roll_r(a):
     """out[:, p] = a[:, p-1]; first lane wraps."""
-    return pltpu.roll(a, jnp.int32(1), 1)
+    return jnp.concatenate([a[:, -1:], a[:, :-1]], axis=1)
 
 
 def _kernel(t_ref, q_ref, tl_ref, ql_ref, score_ref, te_ref, qe_ref,
