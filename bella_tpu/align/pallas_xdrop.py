@@ -47,7 +47,10 @@ NINF32 = -(1 << 20)   # python ints: jnp scalars would be captured tracers
 NINF16 = -20000       # one more gap/mismatch add cannot wrap int16
 PAD = 127
 
-CHUNK = 64      # steps per feed refill / termination check
+CHUNK = 128     # steps per feed refill / termination check (compiled)
+CHUNK_INTERPRET = 32  # interpret mode fully unrolls the chunk in the
+# interpreter: a small chunk keeps test traces fast; results are
+# identical (the chunk size only sets check granularity)
 I16_MAX_D = 30000  # use int16 DP while max diagonal (t_len+q_len) fits
 
 
@@ -75,7 +78,8 @@ def _roll_r(a):
 
 
 def _kernel(t_ref, q_ref, tl_ref, ql_ref, score_ref, te_ref, qe_ref,
-            *, W, xdrop, match, mismatch, gap, max_chunks, bb, use_i16):
+            *, W, xdrop, match, mismatch, gap, max_chunks, bb, use_i16,
+            chunk_steps):
     sdt = jnp.int16 if use_i16 else jnp.int32
     lane = jax.lax.broadcasted_iota(sdt, (bb, W), 1)
     lane32 = jax.lax.broadcasted_iota(jnp.int32, (bb, W), 1)
@@ -182,7 +186,7 @@ def _kernel(t_ref, q_ref, tl_ref, ql_ref, score_ref, te_ref, qe_ref,
         win = ref[:, pl.ds(base, 256)].astype(sdt)
         off = ptr - base  # in [0, 128)
         rot = pltpu.roll(win, (jnp.int32(256) - off) % jnp.int32(256), 1)
-        return rot[:, :CHUNK]
+        return rot[:, :chunk_steps]
 
     def chunk(st):
         (a1, a2, twin, qwin, best, best_t, best_q, alive, d, t_ptr,
@@ -190,18 +194,18 @@ def _kernel(t_ref, q_ref, tl_ref, ql_ref, score_ref, te_ref, qe_ref,
         tfeed = load_feed(t_ref, t_ptr)
         qfeed = load_feed(q_ref, q_ptr)
         out = jax.lax.fori_loop(
-            0, CHUNK, step,
+            0, chunk_steps, step,
             (a1, a2, twin, qwin, tfeed, qfeed, best, best_t, best_q,
              alive, d),
-            unroll=CHUNK,  # Mosaic fori supports only unroll=1 or full;
-            # full unroll removes per-step loop overhead
+            unroll=chunk_steps,  # Mosaic fori supports only unroll=1 or
+            # full; full unroll removes per-step loop overhead
         )
         (a1, a2, twin, qwin, _tf, _qf, best, best_t, best_q, alive,
          d_end) = out
         # T chars consumed this chunk = total band advance = lo(d_end)-lo(d)
         adv = _lo(d_end, W) - _lo(d, W)
         t_ptr = t_ptr + adv
-        q_ptr = q_ptr + (jnp.int32(CHUNK) - adv)
+        q_ptr = q_ptr + (jnp.int32(chunk_steps) - adv)
         return (a1, a2, twin, qwin, best, best_t, best_q, alive, d_end,
                 t_ptr, q_ptr, c + jnp.int32(1))
 
@@ -244,13 +248,15 @@ def extend_batch_pallas(
     W = max(128, -(-int(band) // 128) * 128)
     if max_steps <= 0:
         max_steps = 2 * L
-    max_chunks = -(-int(max_steps) // CHUNK) + 1
+    chunk_steps = CHUNK_INTERPRET if interpret else CHUNK
+    max_chunks = -(-int(max_steps) // chunk_steps) + 1
 
     # int16 DP (16 pairs/block, double lane density) is implemented and
-    # interpret-verified, but DISABLED: this Mosaic build cannot rotate
-    # non-32-bit vectors ("Rotate with non-32-bit data") and the kernel
-    # rolls windows every step. Revisit with bitcast-to-i32 rolls
-    # (ROADMAP.md item 1).
+    # interpret-verified, but DISABLED: this target's Mosaic rejects
+    # 16-bit rotates ("Rotate with non-32-bit data"), 16-bit iota, AND
+    # 16-bit vector compares ("Target does not support this comparison")
+    # — i16 vectors are second-class and lower by unpacking to 32-bit,
+    # so there is no lane-density win to recover; int32 is the fast path.
     use_i16 = False and 2 * L + CHUNK < I16_MAX_D
     bb = 16 if use_i16 else 8
     seq_dt = jnp.int16 if use_i16 else jnp.int32
@@ -273,6 +279,7 @@ def extend_batch_pallas(
     kernel = functools.partial(
         _kernel, W=W, xdrop=int(xdrop), match=match, mismatch=mismatch,
         gap=gap, max_chunks=max_chunks, bb=bb, use_i16=use_i16,
+        chunk_steps=chunk_steps,
     )
     # index maps return typed zeros: a python 0 traces as i64 under x64,
     # which Mosaic cannot return from the index-map func
