@@ -290,13 +290,16 @@ def _prepare_extensions(reads_dev, lens_dev, bh, bv, ph_raw, pv, rc, k: int,
 
 
 def _combine_extensions(ext, left, right):
-    return dict(
-        score=left["score"] + right["score"],
-        beg_h=ext["seed_end_h"] - left["t_end"],
-        beg_v=ext["seed_end_v"] - left["q_end"],
-        end_h=ext["seed_end_h"] + right["t_end"],
-        end_v=ext["seed_end_v"] + right["q_end"],
-    )
+    """Stacked (5, B) int32 block: one device->host transfer per batch
+    (each separate transfer pays the relay round trip), row order
+    score/beg_h/end_h/beg_v/end_v."""
+    return jnp.stack([
+        left["score"] + right["score"],
+        ext["seed_end_h"] - left["t_end"],
+        ext["seed_end_h"] + right["t_end"],
+        ext["seed_end_v"] - left["q_end"],
+        ext["seed_end_v"] + right["q_end"],
+    ])
 
 
 @partial(jax.jit, static_argnames=("band", "kmer_size"))
@@ -419,6 +422,9 @@ def align_candidates(
         )
         order = np.argsort(pair_len, kind="stable")
 
+    # dispatch ALL batches first (async), read back after: device compute
+    # of batch b overlaps the host-side prep/readback of its neighbours
+    pending = []
     for s in range(0, P, batch_size):
         sel = order[s : s + batch_size]
         if len(sel) < batch_size:
@@ -450,12 +456,16 @@ def align_candidates(
             out = _seed_extend_batch(
                 *args, int(config.xdrop), k, config.band_width
             )
+        pending.append((sel, sel_valid, out))
+
+    for sel, sel_valid, out in pending:
+        arr = np.asarray(out)  # (5, batch) int32, one transfer
         sel = sel[:sel_valid]
-        score[sel] = np.asarray(out["score"])[:sel_valid]
-        beg_h[sel] = np.asarray(out["beg_h"])[:sel_valid]
-        end_h[sel] = np.asarray(out["end_h"])[:sel_valid]
-        beg_v[sel] = np.asarray(out["beg_v"])[:sel_valid]
-        end_v[sel] = np.asarray(out["end_v"])[:sel_valid]
+        score[sel] = arr[0, :sel_valid]
+        beg_h[sel] = arr[1, :sel_valid]
+        end_h[sel] = arr[2, :sel_valid]
+        beg_v[sel] = arr[3, :sel_valid]
+        end_v[sel] = arr[4, :sel_valid]
 
     return AlignmentResult(score, beg_h, end_h, beg_v, end_v, pairs.seed_rc.copy())
 

@@ -24,7 +24,7 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("-e", "--error", type=float, default=0.15, help="error rate")
     ap.add_argument("--estimate", action="store_true", help="estimate error rate from data")
     ap.add_argument("--skip-alignment", action="store_true", help="overlap only")
-    ap.add_argument("-m", "--memory", type=int, default=8000, help="total RAM in MB (staging budget)")
+    ap.add_argument("-m", "--memory", type=int, default=0, help="staging budget in MB (0 = probe device memory, as the reference probes free RAM)")
     ap.add_argument("--score-deviation", type=float, default=0.1,
                     help="deviation from the mean alignment score [0,1]")
     ap.add_argument("-b", "--bin-size", type=int, default=500, help="bin size for binning algorithm")

@@ -25,7 +25,10 @@ class BellaConfig:
     output_paf: bool = False       # --paf
     use_hopc: bool = False         # --hopc homopolymer-compressed k-mers
     delta_chernoff: float = 0.10   # --score-deviation
-    total_memory_mb: float = 8000.0  # -m  staging budget
+    total_memory_mb: float = 0.0   # -m  staging budget; 0 = probe the
+                                   # device (the reference probes free
+                                   # RAM the same way unless -m is
+                                   # given, include/overlap.hpp:365-404)
     error_rate: float = 0.15       # -e
     hopc_error_rate: float = 0.035 # error rate used when use_hopc is on
     use_syncmer: bool = False      # -s
@@ -66,3 +69,29 @@ class BellaConfig:
     def effective_error_rate(self) -> float:
         """Error rate driving the adaptive threshold (src/main.cpp:307-314)."""
         return self.hopc_error_rate if self.use_hopc else self.error_rate
+
+    @property
+    def effective_memory_mb(self) -> float:
+        """Staging budget: the -m flag when given, else the accelerator's
+        memory (estimateMemory parity, include/overlap.hpp:365-404;
+        falls back to the reference's 8 GB default off-accelerator)."""
+        if self.total_memory_mb > 0:
+            return self.total_memory_mb
+        global _PROBED_MEMORY_MB
+        if _PROBED_MEMORY_MB is None:
+            probed = 8000.0
+            try:
+                import jax
+
+                dev = jax.devices()[0]
+                stats = dev.memory_stats() or {}
+                limit = stats.get("bytes_limit")
+                if limit:
+                    probed = limit / 1e6
+            except Exception:
+                pass
+            _PROBED_MEMORY_MB = probed
+        return _PROBED_MEMORY_MB
+
+
+_PROBED_MEMORY_MB: Optional[float] = None

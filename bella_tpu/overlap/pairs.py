@@ -264,10 +264,13 @@ def _compact(out) -> CandidatePairs:
 _SENT32 = np.int32(0x7FFFFFFF)
 
 
-@partial(jax.jit, static_argnames=("kmer_size", "lower", "upper", "use_hopc"))
+@partial(jax.jit, static_argnames=(
+    "kmer_size", "lower", "upper", "use_hopc", "pack_ridpos"
+))
 def _fused_count(
     codes, lengths, offsets, n_real=None,
     kmer_size: int = 17, lower: int = 2, upper: int = 8, use_hopc: bool = False,
+    pack_ridpos: bool = False,
 ):
     """Phase 1: pack + canonicalise + sort + exact count + reliable
     filter. Output stays on device for phase 2.
@@ -310,9 +313,24 @@ def _fused_count(
     khi = (canon >> _U64(32)).astype(jnp.uint32)
     klo = canon.astype(jnp.uint32)
 
-    khi, klo, sr, sp, sc = jax.lax.sort(
-        (khi, klo, rid, pos, is_rc), num_keys=2
-    )
+    if pack_ridpos:
+        # caller guarantees real read ids and positions fit 16 bits:
+        # the sort moves every operand through every compare-exchange,
+        # so 3 payload operands -> 2 is ~20% less traffic on the hot
+        # sort. Rows whose position overflows 16 bits (the
+        # shape-bucketing phantom read) are already invalid ->
+        # sentinel keys, and their garbage payloads are never read.
+        u32 = jnp.uint32
+        ridpos = (rid.astype(u32) << u32(16)) | (pos.astype(u32) & u32(0xFFFF))
+        khi, klo, ridpos, sc = jax.lax.sort(
+            (khi, klo, ridpos, is_rc), num_keys=2
+        )
+        sr = (ridpos >> u32(16)).astype(jnp.int32)
+        sp = (ridpos & u32(0xFFFF)).astype(jnp.int32)
+    else:
+        khi, klo, sr, sp, sc = jax.lax.sort(
+            (khi, klo, rid, pos, is_rc), num_keys=2
+        )
     kb = seg.boundaries2(khi, klo)
     ones = jnp.ones_like(sr, dtype=jnp.int32)
     # gather-free int32 segment ops (int64 associative scans blow up this
@@ -571,6 +589,12 @@ def detect_overlaps(reads, config: BellaConfig):
     codes_packed = (
         c4[:, 0] | (c4[:, 1] << 2) | (c4[:, 2] << 4) | (c4[:, 3] << 6)
     ).reshape(-1, 1)
+    # packed 3-operand sort path when ids/positions fit 16 bits (the
+    # reference caps positions at 16 bits too, src/main.cpp:193)
+    max_len = int(reads.lengths.max()) if reads.num_reads else 0
+    packed = (
+        reads.num_reads <= 0xFFFF and max_len <= 0xFFFF and config.bin_size >= 3
+    )
     live, sr, sp, sc, rank, nnz, num_kmers = _fused_count(
         jnp.asarray(codes_packed),
         jnp.asarray(lengths),
@@ -580,14 +604,9 @@ def detect_overlaps(reads, config: BellaConfig):
         lower=config.lower_freq,
         upper=config.upper_freq,
         use_hopc=config.use_hopc,
+        pack_ridpos=packed,
     )
     lengths_dev = jnp.asarray(reads.lengths.astype(np.int32))
-    # packed 3-operand sort path when ids/positions fit 16 bits (the
-    # reference caps positions at 16 bits too, src/main.cpp:193)
-    max_len = int(reads.lengths.max()) if reads.num_reads else 0
-    packed = (
-        reads.num_reads <= 0xFFFF and max_len <= 0xFFFF and config.bin_size >= 3
-    )
     if packed:
         # separate dispatches, not one merged jit: the merged
         # emit+sort+scan program stalls this toolchain's compiler at large
@@ -643,7 +662,7 @@ def generate_candidates(
     max_len = int(np.asarray(read_lengths).max()) if n_reads else 0
     packed = (
         n_reads <= 0xFFFF and max_len <= 0xFFFF and config.bin_size >= 3
-        and triples.nnz * 100 <= config.total_memory_mb * 1e6
+        and triples.nnz * 100 <= config.effective_memory_mb * 1e6
     )
     if packed:
         n = triples.nnz
@@ -667,7 +686,7 @@ def generate_candidates(
         )
         return _compact(out)
     expanded = triples.nnz * (config.upper_freq - 1)
-    budget_rows = int(config.total_memory_mb * 1e6 / _ROW_BYTES)
+    budget_rows = int(config.effective_memory_mb * 1e6 / _ROW_BYTES)
     if expanded <= budget_rows:
         out = _emit_and_chain(
             jnp.asarray(triples.kmer_ids),

@@ -56,7 +56,7 @@ def run_pipeline(
     fused = (
         not (config.use_minimizer or config.use_syncmer)
         and config.split_count == 1
-        and m * 100 <= config.total_memory_mb * 1e6
+        and m * 100 <= config.effective_memory_mb * 1e6
         and reads.num_reads > 0
         and config.write_matrix is None
         and config.checkpoint is None
