@@ -264,16 +264,16 @@ def _compact(out) -> CandidatePairs:
 _SENT32 = np.int32(0x7FFFFFFF)
 
 
-@partial(jax.jit, static_argnames=(
-    "kmer_size", "lower", "upper", "use_hopc", "pack_ridpos"
-))
-def _fused_count(
+@partial(jax.jit, static_argnames=("kmer_size", "use_hopc", "pack_ridpos"))
+def _extract_sort(
     codes, lengths, offsets, n_real=None,
-    kmer_size: int = 17, lower: int = 2, upper: int = 8, use_hopc: bool = False,
-    pack_ridpos: bool = False,
+    kmer_size: int = 17, use_hopc: bool = False, pack_ridpos: bool = False,
 ):
-    """Phase 1: pack + canonicalise + sort + exact count + reliable
-    filter. Output stays on device for phase 2.
+    """Phase 1a: pack + canonicalise + k-mer-major sort. A SEPARATE
+    program from the counting scans: one merged program's compile-time
+    allocation plan exceeds HBM at ~150M-position shapes (the canon
+    temporaries and the out-of-place sort then coexist in the plan),
+    while split programs each stay well under.
 
     The sort keys are the canonical k-mer split into two uint32 halves:
     64-bit integers are software-emulated on TPU, so keeping the sort
@@ -322,15 +322,26 @@ def _fused_count(
         # sentinel keys, and their garbage payloads are never read.
         u32 = jnp.uint32
         ridpos = (rid.astype(u32) << u32(16)) | (pos.astype(u32) & u32(0xFFFF))
-        khi, klo, ridpos, sc = jax.lax.sort(
-            (khi, klo, ridpos, is_rc), num_keys=2
-        )
-        sr = (ridpos >> u32(16)).astype(jnp.int32)
-        sp = (ridpos & u32(0xFFFF)).astype(jnp.int32)
+        return jax.lax.sort((khi, klo, ridpos, is_rc), num_keys=2) + (None,)
+    khi, klo, sr, sp, sc = jax.lax.sort(
+        (khi, klo, rid, pos, is_rc), num_keys=2
+    )
+    return khi, klo, sr, sc, sp
+
+
+@partial(jax.jit, static_argnames=("lower", "upper", "pack_ridpos"))
+def _count_sorted(
+    khi, klo, p1, sc, p2,
+    lower: int = 2, upper: int = 8, pack_ridpos: bool = False,
+):
+    """Phase 1b: exact counting + reliable filter + within-segment rank
+    over the k-mer-sorted stream (separate program; see _extract_sort)."""
+    if pack_ridpos:
+        u32 = jnp.uint32
+        sr = (p1 >> u32(16)).astype(jnp.int32)
+        sp = (p1 & u32(0xFFFF)).astype(jnp.int32)
     else:
-        khi, klo, sr, sp, sc = jax.lax.sort(
-            (khi, klo, rid, pos, is_rc), num_keys=2
-        )
+        sr, sp = p1, p2
     kb = seg.boundaries2(khi, klo)
     ones = jnp.ones_like(sr, dtype=jnp.int32)
     # gather-free int32 segment ops (int64 associative scans blow up this
@@ -341,6 +352,25 @@ def _fused_count(
     reliable = (counts >= lower) & (counts <= upper) & (~is_sentinel)
     nnz = jnp.sum(reliable)
     num_kmers = jnp.sum(kb & reliable)
+    return reliable, sr, sp, rank, nnz, num_kmers
+
+
+def _fused_count(
+    codes, lengths, offsets, n_real=None,
+    kmer_size: int = 17, lower: int = 2, upper: int = 8, use_hopc: bool = False,
+    pack_ridpos: bool = False,
+):
+    """Phase 1 driver: two device programs (extract+sort, count+filter)
+    so neither's compile-time allocation plan approaches HBM at
+    100M+-position shapes."""
+    khi, klo, p1, sc, p2 = _extract_sort(
+        codes, lengths, offsets, n_real,
+        kmer_size=kmer_size, use_hopc=use_hopc, pack_ridpos=pack_ridpos,
+    )
+    reliable, sr, sp, rank, nnz, num_kmers = _count_sorted(
+        khi, klo, p1, sc, p2,
+        lower=lower, upper=upper, pack_ridpos=pack_ridpos,
+    )
     return reliable, sr, sp, sc, rank, nnz, num_kmers
 
 
@@ -573,6 +603,16 @@ def detect_overlaps(reads, config: BellaConfig):
     m = len(reads.codes) - k + 1
     if m <= 0:
         return CandidatePairs.empty(), 0, 0
+    if m * 100 > config.effective_memory_mb * 1e6:
+        # beyond the device budget (~100 device bytes per k-mer position
+        # across the count sort + emit/chain programs): fall back to the
+        # k-mer-range staged path (the reference's column-block staging,
+        # include/overlap.hpp:682-710)
+        from bella_tpu.kmers.count import build_reliable_triples
+
+        tri = build_reliable_triples(reads, config)
+        pairs = generate_candidates(tri, reads.lengths, config)
+        return pairs, tri.num_kmers, tri.nnz
     # pad the code stream to a bucketed size with a phantom read whose
     # occurrences are masked invalid (stable jit shapes across datasets)
     total = len(reads.codes)
@@ -621,6 +661,9 @@ def detect_overlaps(reads, config: BellaConfig):
         # padding multiplies directly into the two big sorts
         size = min(_size_bucket(max(n, 1 << 14)), int(sr.shape[0]))
         csr, csp, csc, crank = _compact_reliable(live, sr, sp, sc, rank, size)
+        # drop the full-stream references so the backend can free ~14
+        # bytes/position of HBM before the emit/chain stages allocate
+        del live, sr, sp, sc, rank
         hv, k3, pv, _n_cand = _fused_emit_packed(
             nnz.astype(jnp.int32), csr, csp, csc, crank, lengths_dev,
             kmer_size=k, upper=config.upper_freq, bin_size=config.bin_size,
@@ -628,6 +671,7 @@ def detect_overlaps(reads, config: BellaConfig):
         out = _chain_packed(
             hv, k3, pv, lengths_dev, kmer_size=k, bin_size=config.bin_size
         )
+        del hv, k3, pv, csr, csp, csc, crank
     else:
         h, v, bin_id, pos_h, pos_v, flip, ov = _fused_emit(
             live, sr, sp, sc, rank, lengths_dev,

@@ -99,12 +99,12 @@ def _local_emit(kmers, read_ids, positions, is_rc, read_lengths,
     kernel (overlap/pairs.py) on the local k-mer shard; kept separate so
     it runs inside shard_map with fixed shapes."""
     (k, lower, upper, bin_size) = cfg_static
-    # sort by kmer so segments are contiguous
-    order = jnp.argsort(kmers)
-    sk = kmers[order]
-    sr = read_ids[order]
-    sp = positions[order]
-    sc = is_rc[order]
+    # sort by kmer so segments are contiguous: one multi-operand sort
+    # with payloads riding along, not argsort+gathers (gathers are the
+    # slow path on this toolchain; see utils/segments.py rationale)
+    sk, sr, sp, sc = jax.lax.sort(
+        (kmers, read_ids, positions, is_rc), num_keys=1
+    )
 
     kb = seg.boundaries(sk)
     ones = jnp.ones_like(sr, dtype=jnp.int32)
