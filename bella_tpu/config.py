@@ -88,6 +88,18 @@ class BellaConfig:
                 limit = stats.get("bytes_limit")
                 if limit:
                     probed = limit / 1e6
+                elif dev.platform == "tpu":
+                    # some TPU runtimes (e.g. tunneled PJRT plugins)
+                    # report no memory stats; fall back to the HBM of
+                    # the device kind
+                    kind = dev.device_kind.lower()
+                    hbm_gb = {
+                        "tpu v5 lite": 16, "tpu v5e": 16, "tpu v4": 32,
+                        "tpu v5": 95, "tpu v5p": 95, "tpu v6 lite": 32,
+                        "tpu v6e": 32,
+                    }.get(kind)
+                    if hbm_gb:
+                        probed = hbm_gb * 1e3
             except Exception:
                 pass
             _PROBED_MEMORY_MB = probed

@@ -236,17 +236,31 @@ def _gather_seeds(out, size: int):
     cheaper; the device->host transfer stays proportional to the number
     of PAIRS, not the candidate stream."""
     n = out["seed_mask"].shape[0]
-    key = (
-        ((~out["seed_mask"]).astype(jnp.uint32) << jnp.uint32(31))
-        | jax.lax.iota(jnp.uint32, n)
-    )
-    skey = jax.lax.sort(key)
-    idx = (skey[:size] & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+    if size <= (1 << 18):
+        # few seeds: find their indices with a SINGLE-operand sort (dead
+        # bit in bit 31, row index below) and gather the eight fields at
+        # just those rows — gather cost scales with the OUTPUT size, so
+        # this beats carrying 8 payloads through the big sort ~5x
+        key = (
+            ((~out["seed_mask"]).astype(jnp.uint32) << jnp.uint32(31))
+            | jax.lax.iota(jnp.uint32, n)
+        )
+        skey = jax.lax.sort(key)
+        idx = (skey[:size] & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+        fields = [jnp.take(out[f], idx, axis=0) for f in _FIELDS]
+    else:
+        # many seeds (large corpora): multi-million-row gathers are the
+        # slow path on this toolchain — carry the payloads through a
+        # stable multi-operand sort instead
+        dead = (~out["seed_mask"]).astype(jnp.uint32)
+        iota = jax.lax.iota(jnp.int32, n)
+        sorted_all = jax.lax.sort(
+            (dead, iota) + tuple(out[f] for f in _FIELDS), num_keys=2
+        )
+        fields = [a[:size] for a in sorted_all[2:]]
     # one stacked (8, size) int32 block -> ONE device->host transfer
     # (each separate transfer pays the relay's ~27 ms round trip)
-    return jnp.stack(
-        [jnp.take(out[f], idx, axis=0).astype(jnp.int32) for f in _FIELDS]
-    )
+    return jnp.stack([a.astype(jnp.int32) for a in fields])
 
 
 def _compact(out) -> CandidatePairs:
@@ -265,15 +279,18 @@ _SENT32 = np.int32(0x7FFFFFFF)
 
 
 @partial(jax.jit, static_argnames=("kmer_size", "use_hopc", "pack_ridpos"))
-def _extract_sort(
+def _extract_kmers(
     codes, lengths, offsets, n_real=None,
     kmer_size: int = 17, use_hopc: bool = False, pack_ridpos: bool = False,
 ):
-    """Phase 1a: pack + canonicalise + k-mer-major sort. A SEPARATE
-    program from the counting scans: one merged program's compile-time
-    allocation plan exceeds HBM at ~150M-position shapes (the canon
-    temporaries and the out-of-place sort then coexist in the plan),
-    while split programs each stay well under.
+    """Phase 1a: unpack + canonicalise the k-mer stream (unsorted).
+
+    A SEPARATE program from the sort and from the counting scans: a
+    merged program's compile-time allocation plan reaches ~19 GB at
+    150M-position shapes (the canonicalisation temporaries, the
+    out-of-place sort, and the scan buffers coexist in the plan) and is
+    rejected against the 16 GB chip, while the split programs each plan
+    a few GB.
 
     The sort keys are the canonical k-mer split into two uint32 halves:
     64-bit integers are software-emulated on TPU, so keeping the sort
@@ -322,10 +339,16 @@ def _extract_sort(
         # sentinel keys, and their garbage payloads are never read.
         u32 = jnp.uint32
         ridpos = (rid.astype(u32) << u32(16)) | (pos.astype(u32) & u32(0xFFFF))
-        return jax.lax.sort((khi, klo, ridpos, is_rc), num_keys=2) + (None,)
-    khi, klo, sr, sp, sc = jax.lax.sort(
-        (khi, klo, rid, pos, is_rc), num_keys=2
-    )
+        return khi, klo, ridpos, is_rc, None
+    return khi, klo, rid, is_rc, pos
+
+
+@partial(jax.jit, static_argnames=("pack_ridpos",))
+def _sort_kmers(khi, klo, p1, sc, p2, pack_ridpos: bool = False):
+    """Phase 1b: k-mer-major sort (separate program; see _extract_kmers)."""
+    if pack_ridpos:
+        return jax.lax.sort((khi, klo, p1, sc), num_keys=2) + (None,)
+    khi, klo, sr, sp, sc = jax.lax.sort((khi, klo, p1, p2, sc), num_keys=2)
     return khi, klo, sr, sc, sp
 
 
@@ -360,12 +383,15 @@ def _fused_count(
     kmer_size: int = 17, lower: int = 2, upper: int = 8, use_hopc: bool = False,
     pack_ridpos: bool = False,
 ):
-    """Phase 1 driver: two device programs (extract+sort, count+filter)
-    so neither's compile-time allocation plan approaches HBM at
-    100M+-position shapes."""
-    khi, klo, p1, sc, p2 = _extract_sort(
+    """Phase 1 driver: three device programs (canonicalise, sort,
+    count+filter) so no single compile-time allocation plan approaches
+    HBM at 100M+-position shapes."""
+    khi, klo, p1, sc, p2 = _extract_kmers(
         codes, lengths, offsets, n_real,
         kmer_size=kmer_size, use_hopc=use_hopc, pack_ridpos=pack_ridpos,
+    )
+    khi, klo, p1, sc, p2 = _sort_kmers(
+        khi, klo, p1, sc, p2, pack_ridpos=pack_ridpos
     )
     reliable, sr, sp, rank, nnz, num_kmers = _count_sorted(
         khi, klo, p1, sc, p2,
@@ -624,11 +650,18 @@ def detect_overlaps(reads, config: BellaConfig):
         codes = np.concatenate([codes, np.zeros(total_p - total, codes.dtype)])
         lengths = np.append(lengths, np.int32(total_p - total))
         offsets = np.append(offsets, np.int32(total_p))
-    # 2-bit pack for the upload (bucket sizes are multiples of 4)
-    c4 = codes.reshape(-1, 4).astype(np.uint8)
-    codes_packed = (
-        c4[:, 0] | (c4[:, 1] << 2) | (c4[:, 2] << 4) | (c4[:, 3] << 6)
-    ).reshape(-1, 1)
+    # 2-bit pack for the upload (bucket sizes are multiples of 4); the
+    # device-side unpack materialises an (m/4, 4) buffer whose minor dim
+    # pads to 128 lanes under TPU tiling — a 32x blowup that exceeds HBM
+    # beyond ~64M positions — so large corpora upload raw codes instead
+    # (the relay transfer costs ~4 s/GB; the padded buffer costs the run)
+    if total_p <= (1 << 26):
+        c4 = codes.reshape(-1, 4).astype(np.uint8)
+        codes_packed = (
+            c4[:, 0] | (c4[:, 1] << 2) | (c4[:, 2] << 4) | (c4[:, 3] << 6)
+        ).reshape(-1, 1)
+    else:
+        codes_packed = codes.astype(np.int8)
     # packed 3-operand sort path when ids/positions fit 16 bits (the
     # reference caps positions at 16 bits too, src/main.cpp:193)
     max_len = int(reads.lengths.max()) if reads.num_reads else 0

@@ -60,14 +60,22 @@ def pack_kmers(codes, k: int):
     k shifted adds -- fully parallel, replaces the 4-phase bit-shift
     batch extraction of kmercode/Kmer.cpp:232-298.
     """
+    import jax
+
     c = jnp.asarray(codes, dtype=_U64)
     n_out = c.shape[0] - k + 1
     if n_out <= 0:
         return jnp.zeros((0,), dtype=_U64)
-    val = jnp.zeros((n_out,), dtype=_U64)
-    for t in range(k):
-        val = (val << _U64(2)) | c[t : t + n_out]
-    return val
+
+    # fori_loop, NOT an unrolled python loop: unrolled, XLA's allocation
+    # plan keeps all k shifted temporaries alive (~k * 8 bytes/position
+    # -> 19 GB at 150M positions, rejected against HBM); the loop-carried
+    # buffer is reused across iterations
+    def body(t, val):
+        w = jax.lax.dynamic_slice(c, (t,), (n_out,))
+        return (val << _U64(2)) | w
+
+    return jax.lax.fori_loop(0, k, body, jnp.zeros((n_out,), dtype=_U64))
 
 
 def _bitrev2(x):
@@ -116,19 +124,30 @@ def hopc_kmers(codes, k: int):
 
     Returns (packed (N-k+1,) uint64, lengths (N-k+1,) int32).
     """
+    import jax
+
     c = jnp.asarray(codes, dtype=_U64)
     n_out = int(c.shape[0]) - k + 1
     if n_out <= 0:
         return jnp.zeros((0,), dtype=_U64), jnp.zeros((0,), dtype=jnp.int32)
-    val = jnp.zeros((n_out,), dtype=_U64)
-    length = jnp.zeros((n_out,), dtype=jnp.int32)
-    prev = jnp.full((n_out,), 255, dtype=_U64)  # sentinel != any base
-    for t in range(k):
-        cur = c[t : t + n_out]
+
+    # fori_loop for buffer reuse (see pack_kmers)
+    def body(t, carry):
+        val, length, prev = carry
+        cur = jax.lax.dynamic_slice(c, (t,), (n_out,))
         keep = cur != prev
         val = jnp.where(keep, (val << _U64(2)) | cur, val)
         length = length + keep.astype(jnp.int32)
-        prev = cur
+        return val, length, cur
+
+    val, length, _prev = jax.lax.fori_loop(
+        0, k, body,
+        (
+            jnp.zeros((n_out,), dtype=_U64),
+            jnp.zeros((n_out,), dtype=jnp.int32),
+            jnp.full((n_out,), 255, dtype=_U64),  # sentinel != any base
+        ),
+    )
     # canonical rep at per-element length
     shift = (_U64(64) - _U64(2) * length.astype(_U64))
     tw = _bitrev2(~val) >> shift
