@@ -193,7 +193,7 @@ def _emit_and_chain(
     flip, ov = _multiop(key, pos_h, pos_v, rc_h, rc_v, read_lengths, kmer_size)
     bin_id = (ov // bin_size).astype(jnp.int32)
     key, bin_id, pos_h, pos_v, flip, ov = jax.lax.sort(
-        (key, bin_id, pos_h, pos_v, flip, ov), num_keys=3
+        (key, bin_id, pos_h, pos_v, flip, ov), num_keys=4
     )
     return _chain_sorted(key, bin_id, pos_h, pos_v, flip, ov, kmer_size)
 
@@ -215,7 +215,7 @@ def _emit_stage(
 def _chain_stage(key, bin_id, pos_h, pos_v, flip, ov, kmer_size: int):
     """Staged path, phase 2: sort + reduce one pair-aligned chunk."""
     key, bin_id, pos_h, pos_v, flip, ov = jax.lax.sort(
-        (key, bin_id, pos_h, pos_v, flip, ov), num_keys=3
+        (key, bin_id, pos_h, pos_v, flip, ov), num_keys=4
     )
     return _chain_sorted(key, bin_id, pos_h, pos_v, flip, ov, kmer_size)
 
@@ -343,6 +343,90 @@ def _extract_kmers(
     return khi, klo, rid, is_rc, pos
 
 
+@partial(jax.jit, static_argnames=("kmer_size", "pack_ridpos"))
+def _extract_kmers_phased(
+    codes_bytes, lengths, offsets, n_real=None,
+    kmer_size: int = 17, pack_ridpos: bool = False,
+):
+    """Phase 1a for 2-bit-PACKED uploads: the reference's 4-phase
+    bit-shift extraction (kmercode/Kmer.cpp:232-298) as 1-D u64 ops.
+
+    A naive device-side unpack materialises an (m/4, 4) buffer whose
+    minor dim pads to 128 lanes under TPU tiling — a 32x blowup that
+    exceeds HBM beyond ~64M positions. Instead, an 8-byte sliding
+    window W[j] (u64, 32 consecutive bases LSB-first) yields the k-mer
+    at position 4j+s as bits [2s, 2s+2k) — so each of the 4 phase
+    streams is pure 1-D elementwise work, and the phases concatenate
+    (order is irrelevant: everything downstream sorts). Requires
+    k <= 28 (phase 3 reaches base offset s+k-1 <= 31).
+
+    codes_bytes: (m/4 + 8,) uint8, 8 zero pad bytes beyond the stream.
+    Emits one row per base position (rows whose k-mer would cross a
+    read boundary or the stream end are sentinel-masked)."""
+    from bella_tpu.seq.encode import _bitrev2, canonical_kmers, kmer_mask
+
+    k = kmer_size
+    u32, u64 = jnp.uint32, _U64
+    mb = codes_bytes.shape[0] - 8
+    total_p = 4 * mb
+    nreads = lengths.shape[0]
+    b64 = codes_bytes.astype(u64)
+
+    def body(t, w):
+        return w | (
+            jax.lax.dynamic_slice(b64, (t,), (mb,)) << (u64(8) * t.astype(u64))
+        )
+
+    W = jax.lax.fori_loop(0, 8, body, jnp.zeros((mb,), u64))
+
+    off32 = offsets.astype(jnp.int32)
+    j32 = jnp.arange(mb, dtype=jnp.int32)
+    rids = []
+    for s in range(4):
+        # bases of read r with position ≡ s (mod 4):
+        # ceil((end-s)/4) - ceil((start-s)/4)
+        cnt = (off32[1:] - s + 3) // 4 - (off32[:-1] - s + 3) // 4
+        rids.append(jnp.repeat(
+            jnp.arange(nreads, dtype=jnp.int32), cnt, total_repeat_length=mb
+        ))
+
+    mask2k = kmer_mask(k) if k < 32 else u64(0xFFFFFFFFFFFFFFFF)
+    khis, klos, p1s, p2s, rcs = [], [], [], [], []
+    for s in range(4):
+        raw = (W >> u64(2 * s)) & mask2k
+        val = _bitrev2(raw) >> u64(64 - 2 * k)
+        canon, is_rc = canonical_kmers(val, k)
+        g = 4 * j32 + jnp.int32(s)
+        rid = rids[s]
+        pos = g - off32[:-1][jnp.clip(rid, 0, nreads - 1)]
+        # k-mer validity: same read at the last base, inside the stream
+        s2 = (s + k - 1) % 4
+        dj = (s + k - 1) // 4
+        rid_end = jnp.concatenate([
+            rids[s2][dj:], jnp.full((dj,), nreads - 1, jnp.int32)
+        ]) if dj else rids[s2]
+        valid = (rid == rid_end) & (g <= jnp.int32(total_p - k))
+        if n_real is not None:
+            valid = valid & (rid < n_real)
+        canon = jnp.where(valid, canon, jnp.asarray(PAIR_SENTINEL))
+        khis.append((canon >> u64(32)).astype(u32))
+        klos.append(canon.astype(u32))
+        rcs.append(is_rc & valid)
+        if pack_ridpos:
+            p1s.append(
+                (rid.astype(u32) << u32(16)) | (pos.astype(u32) & u32(0xFFFF))
+            )
+        else:
+            p1s.append(rid)
+            p2s.append(pos)
+    khi = jnp.concatenate(khis)
+    klo = jnp.concatenate(klos)
+    sc = jnp.concatenate(rcs)
+    p1 = jnp.concatenate(p1s)
+    p2 = jnp.concatenate(p2s) if not pack_ridpos else None
+    return khi, klo, p1, sc, p2
+
+
 @partial(jax.jit, static_argnames=("pack_ridpos",))
 def _sort_kmers(khi, klo, p1, sc, p2, pack_ridpos: bool = False):
     """Phase 1b: k-mer-major sort (separate program; see _extract_kmers)."""
@@ -381,15 +465,22 @@ def _count_sorted(
 def _fused_count(
     codes, lengths, offsets, n_real=None,
     kmer_size: int = 17, lower: int = 2, upper: int = 8, use_hopc: bool = False,
-    pack_ridpos: bool = False,
+    pack_ridpos: bool = False, phased: bool = False,
 ):
     """Phase 1 driver: three device programs (canonicalise, sort,
     count+filter) so no single compile-time allocation plan approaches
-    HBM at 100M+-position shapes."""
-    khi, klo, p1, sc, p2 = _extract_kmers(
-        codes, lengths, offsets, n_real,
-        kmer_size=kmer_size, use_hopc=use_hopc, pack_ridpos=pack_ridpos,
-    )
+    HBM at 100M+-position shapes. phased=True means `codes` is the
+    2-bit-packed byte stream (+8 pad bytes) for the 4-phase extractor."""
+    if phased:
+        khi, klo, p1, sc, p2 = _extract_kmers_phased(
+            codes, lengths, offsets, n_real,
+            kmer_size=kmer_size, pack_ridpos=pack_ridpos,
+        )
+    else:
+        khi, klo, p1, sc, p2 = _extract_kmers(
+            codes, lengths, offsets, n_real,
+            kmer_size=kmer_size, use_hopc=use_hopc, pack_ridpos=pack_ridpos,
+        )
     khi, klo, p1, sc, p2 = _sort_kmers(
         khi, klo, p1, sc, p2, pack_ridpos=pack_ridpos
     )
@@ -532,7 +623,10 @@ def _chain_packed(hv, k3, pv, read_lengths, kmer_size: int, bin_size: int):
     """Packed sort + segmented chain (see _fused_emit_packed)."""
     k = kmer_size
     u32 = jnp.uint32
-    hv, k3, pv = jax.lax.sort((hv, k3, pv), num_keys=2)
+    # all three operands are sort keys: the winning bin's seed row is then
+    # independent of the emit stream's order (the 4-phase packed extractor
+    # emits phase-major, the triples path position-major)
+    hv, k3, pv = jax.lax.sort((hv, k3, pv), num_keys=3)
     live = hv != u32(0xFFFFFFFF)
     h = (hv >> u32(16)).astype(jnp.int32)
     v = (hv & u32(0xFFFF)).astype(jnp.int32)
@@ -583,7 +677,7 @@ def _chain_stage32(h, v, bin_id, pos_h, pos_v, flip, ov, kmer_size: int):
     """Phase 3: (h, v, bin, posH) 4-key int32 sort + segmented chain."""
     k = kmer_size
     h, v, bin_id, pos_h, pos_v, flip, ov = jax.lax.sort(
-        (h, v, bin_id, pos_h, pos_v, flip, ov), num_keys=4
+        (h, v, bin_id, pos_h, pos_v, flip, ov), num_keys=5
     )
     live = h != _SENT32
     pair_b = seg.boundaries2(h, v)
@@ -650,16 +744,18 @@ def detect_overlaps(reads, config: BellaConfig):
         codes = np.concatenate([codes, np.zeros(total_p - total, codes.dtype)])
         lengths = np.append(lengths, np.int32(total_p - total))
         offsets = np.append(offsets, np.int32(total_p))
-    # 2-bit pack for the upload (bucket sizes are multiples of 4); the
-    # device-side unpack materialises an (m/4, 4) buffer whose minor dim
-    # pads to 128 lanes under TPU tiling — a 32x blowup that exceeds HBM
-    # beyond ~64M positions — so large corpora upload raw codes instead
-    # (the relay transfer costs ~4 s/GB; the padded buffer costs the run)
-    if total_p <= (1 << 26):
+    # 2-bit pack for the upload (bucket sizes are multiples of 4): 4x
+    # smaller host->device transfer, consumed by the 4-phase extractor
+    # (see _extract_kmers_phased) so no padded unpack buffer ever
+    # materialises. HOPC and k > 28 fall back to a raw upload + the
+    # per-position extractor.
+    phased = not config.use_hopc and k <= 28
+    if phased:
         c4 = codes.reshape(-1, 4).astype(np.uint8)
-        codes_packed = (
-            c4[:, 0] | (c4[:, 1] << 2) | (c4[:, 2] << 4) | (c4[:, 3] << 6)
-        ).reshape(-1, 1)
+        codes_packed = np.concatenate([
+            c4[:, 0] | (c4[:, 1] << 2) | (c4[:, 2] << 4) | (c4[:, 3] << 6),
+            np.zeros(8, np.uint8),  # window pad (8-byte sliding u64)
+        ])
     else:
         codes_packed = codes.astype(np.int8)
     # packed 3-operand sort path when ids/positions fit 16 bits (the
@@ -678,6 +774,7 @@ def detect_overlaps(reads, config: BellaConfig):
         upper=config.upper_freq,
         use_hopc=config.use_hopc,
         pack_ridpos=packed,
+        phased=phased,
     )
     lengths_dev = jnp.asarray(reads.lengths.astype(np.int32))
     if packed:
