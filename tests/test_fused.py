@@ -82,3 +82,59 @@ def test_packed_stages_match_unpacked():
     unpacked = _compact(_chain_stage32(h, v, b, ph, pvv, fl, ov, kmer_size=k))
     mp, mu = _as_map(packed), _as_map(unpacked)
     assert mp == mu
+
+
+def test_phased_extractor_matches_per_position():
+    """The 4-phase packed extractor (sliding u64 windows over 2-bit
+    bytes) yields exactly the canonical k-mer multiset + (rid, pos, rc)
+    rows of the per-position extractor, for several k including the
+    k = 28 phase-3 boundary and reads whose lengths are not multiples
+    of 4."""
+    import jax.numpy as jnp
+    from bella_tpu.overlap.pairs import (
+        PAIR_SENTINEL, _extract_kmers, _extract_kmers_phased,
+    )
+
+    rng = np.random.default_rng(77)
+    for k in (5, 17, 28):
+        # ragged reads, lengths deliberately not multiples of 4
+        lens = [13, 50, k, k + 1, 31, 77]
+        codes = rng.integers(0, 4, sum(lens)).astype(np.int8)
+        total = codes.size
+        total_p = ((total + 3) // 4) * 4
+        lengths = np.array(lens, np.int32)
+        offsets = np.concatenate([[0], np.cumsum(lengths)]).astype(np.int32)
+        n_real = len(lens)
+        if total_p > total:  # phantom read pads to a byte boundary
+            codes = np.concatenate([codes, np.zeros(total_p - total, np.int8)])
+            lengths = np.append(lengths, np.int32(total_p - total))
+            offsets = np.append(offsets, np.int32(total_p))
+
+        c4 = codes.reshape(-1, 4).astype(np.uint8)
+        packed = np.concatenate([
+            c4[:, 0] | (c4[:, 1] << 2) | (c4[:, 2] << 4) | (c4[:, 3] << 6),
+            np.zeros(8, np.uint8),
+        ])
+        args = (jnp.asarray(lengths), jnp.asarray(offsets), jnp.int32(n_real))
+        khi_p, klo_p, rid_p, rc_p, pos_p = _extract_kmers_phased(
+            jnp.asarray(packed), *args, kmer_size=k, pack_ridpos=False
+        )
+        khi_r, klo_r, rid_r, rc_r, pos_r = _extract_kmers(
+            jnp.asarray(codes), *args, kmer_size=k, pack_ridpos=False
+        )
+
+        def rows(khi, klo, rid, rc, pos):
+            canon = (np.asarray(khi).astype(np.uint64) << np.uint64(32)) | np.asarray(klo)
+            keep = canon != PAIR_SENTINEL
+            r = np.stack([
+                canon[keep].astype(np.uint64),
+                np.asarray(rid)[keep].astype(np.uint64),
+                np.asarray(pos)[keep].astype(np.uint64),
+                np.asarray(rc)[keep].astype(np.uint64),
+            ], axis=1)
+            return r[np.lexsort(r.T[::-1])]
+
+        a = rows(khi_p, klo_p, rid_p, rc_p, pos_p)
+        b = rows(khi_r, klo_r, rid_r, rc_r, pos_r)
+        assert a.shape == b.shape, (k, a.shape, b.shape)
+        assert (a == b).all(), k
