@@ -263,12 +263,20 @@ def _gather_seeds(out, size: int):
     return jnp.stack([a.astype(jnp.int32) for a in fields])
 
 
-def _compact(out) -> CandidatePairs:
+def _compact(out, live_rows=None) -> CandidatePairs:
     num = int(jnp.sum(out["seed_mask"]))
     if num == 0:
         return CandidatePairs.empty()
+    n = int(out["seed_mask"].shape[0])
+    if live_rows is not None:
+        # the chain sort pushed live rows (and therefore every seed row)
+        # to the front of the stream: compact only that prefix
+        lim = min(_size_bucket(max(int(live_rows), 1 << 10)), n)
+        if lim < n:
+            out = {f: a[:lim] for f, a in out.items()}
+            n = lim
     size = 1 << max(10, (num - 1).bit_length())  # pow2 buckets: stable jits
-    size = min(size, int(out["seed_mask"].shape[0]))
+    size = min(size, n)
     stacked = np.asarray(_gather_seeds(out, size))[:, :num]
     fields = dict(zip(_FIELDS, stacked))
     fields["seed_rc"] = fields["seed_rc"].astype(bool)
@@ -801,7 +809,12 @@ def detect_overlaps(reads, config: BellaConfig):
         out = _chain_packed(
             hv, k3, pv, lengths_dev, kmer_size=k, bin_size=config.bin_size
         )
+        # this sync overlaps the chain dispatch executing on device; the
+        # live count limits the seed compaction to the live prefix
+        n_live = int(_n_cand)
         del hv, k3, pv, csr, csp, csc, crank
+        pairs = _compact(out, live_rows=n_live)
+        return pairs, int(num_kmers), int(nnz)
     else:
         h, v, bin_id, pos_h, pos_v, flip, ov = _fused_emit(
             live, sr, sp, sc, rank, lengths_dev,
