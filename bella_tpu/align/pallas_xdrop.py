@@ -180,12 +180,14 @@ def _kernel(t_ref, q_ref, tl_ref, ql_ref, score_ref, te_ref, qe_ref,
 
     def load_feed(ref, ptr):
         """Feed refill at an arbitrary offset: Mosaic only allows dynamic
-        lane offsets that are 128-aligned, so load an aligned 256-wide
-        window and rotate the wanted CHUNK chars to the front."""
+        lane offsets that are 128-aligned, so load an aligned window of
+        chunk_steps+128 (off < 128 chars of slack) and rotate the wanted
+        chunk to the front."""
+        win_w = -(-(chunk_steps + 128) // 128) * 128  # 128-multiple width
         base = pl.multiple_of((ptr >> jnp.int32(7)) << jnp.int32(7), 128)
-        win = ref[:, pl.ds(base, 256)].astype(sdt)
+        win = ref[:, pl.ds(base, win_w)].astype(sdt)
         off = ptr - base  # in [0, 128)
-        rot = pltpu.roll(win, (jnp.int32(256) - off) % jnp.int32(256), 1)
+        rot = pltpu.roll(win, (jnp.int32(win_w) - off) % jnp.int32(win_w), 1)
         return rot[:, :chunk_steps]
 
     def chunk(st):
