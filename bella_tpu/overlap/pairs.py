@@ -435,6 +435,94 @@ def _extract_kmers_phased(
     return khi, klo, p1, sc, p2
 
 
+@partial(jax.jit, static_argnames=("kmer_size", "splits"))
+def _chunk_partition(
+    codes_bytes, lengths, offsets, n_real, rid_base,
+    kmer_size: int, splits: int,
+):
+    """Beyond-HBM path, per chunk: phased extraction + k-mer-space
+    partition (the reference's --split-count hash partitioning,
+    include/kmercount.hpp:478-534, applied chunk-wise so only one
+    chunk's working set is ever resident). Rows sort by pass tag
+    (sentinels to pass `splits`); `starts` gives each pass's slice."""
+    from bella_tpu.seq.encode import hash64
+
+    u32 = jnp.uint32
+    khi, klo, ridpos, sc, _ = _extract_kmers_phased(
+        codes_bytes, lengths, offsets, n_real,
+        kmer_size=kmer_size, pack_ridpos=True,
+    )
+    # chunk-local read ids -> global (ids stay 16-bit by caller contract)
+    ridpos = ridpos + (rid_base.astype(u32) << u32(16))
+    canon = (khi.astype(_U64) << _U64(32)) | klo.astype(_U64)
+    p = (hash64(canon) % _U64(splits)).astype(u32)
+    dead = (khi == u32(0xFFFFFFFF)) & (klo == u32(0xFFFFFFFF))
+    p = jnp.where(dead, u32(splits), p)
+    p, khi, klo, ridpos, sc = jax.lax.sort(
+        (p, khi, klo, ridpos, sc), num_keys=1
+    )
+    starts = jnp.searchsorted(p, jnp.arange(splits + 1, dtype=u32))
+    return khi, klo, ridpos, sc, starts
+
+
+@partial(jax.jit, static_argnames=("cap",), donate_argnums=(0, 1, 2, 3))
+def _accum_append(
+    akhi, aklo, aridpos, asc, khi, klo, ridpos, sc,
+    src_start, n_valid, dst_start, cap: int,
+):
+    """Append up to `cap` rows from src[src_start:] into the (donated)
+    accumulators at dst_start; rows beyond n_valid become sentinels
+    (overwritten by the next append or filtered as unreliable)."""
+    u32 = jnp.uint32
+    sent = jnp.full((cap,), 0xFFFFFFFF, u32)
+    # pad so dynamic_slice never clamps the start (which would silently
+    # shift the window over a neighbouring pass's rows)
+    khi = jnp.concatenate([khi, sent])
+    klo = jnp.concatenate([klo, sent])
+    ridpos = jnp.concatenate([ridpos, sent])
+    sc = jnp.concatenate([sc, jnp.zeros((cap,), sc.dtype)])
+    keep = jax.lax.iota(jnp.int32, cap) < n_valid
+    s = (src_start,)
+    wkhi = jnp.where(keep, jax.lax.dynamic_slice(khi, s, (cap,)), sent)
+    wklo = jnp.where(keep, jax.lax.dynamic_slice(klo, s, (cap,)), sent)
+    wrp = jax.lax.dynamic_slice(ridpos, s, (cap,))
+    wsc = jax.lax.dynamic_slice(sc, s, (cap,))
+    d = (dst_start,)
+    return (
+        jax.lax.dynamic_update_slice(akhi, wkhi, d),
+        jax.lax.dynamic_update_slice(aklo, wklo, d),
+        jax.lax.dynamic_update_slice(aridpos, wrp, d),
+        jax.lax.dynamic_update_slice(asc, wsc, d),
+    )
+
+
+@partial(jax.jit, static_argnames=("cap",), donate_argnums=(0, 1, 2, 3))
+def _accum_append_rel(
+    asr, asp, asc, arank, sr, sp, sc, rank, n_valid, dst_start, cap: int,
+):
+    """Append the first n_valid of up to `cap` compacted reliable rows
+    (already valid-first) into the (donated) reliable accumulators."""
+    keep = jax.lax.iota(jnp.int32, cap) < n_valid
+    pad = jnp.zeros((cap,), jnp.int32)
+
+    def fit(a, fill):
+        a = a.astype(jnp.int32)
+        n = a.shape[0]
+        if n < cap:
+            a = jnp.concatenate([a, jnp.full((cap - n,), fill, jnp.int32)])
+        return a[:cap]
+
+    d = (dst_start,)
+    return (
+        jax.lax.dynamic_update_slice(asr, jnp.where(keep, fit(sr, 0), pad), d),
+        jax.lax.dynamic_update_slice(asp, jnp.where(keep, fit(sp, 0), pad), d),
+        jax.lax.dynamic_update_slice(asc, jnp.where(keep, fit(sc, 0), pad), d),
+        jax.lax.dynamic_update_slice(
+            arank, jnp.where(keep, fit(rank, 0), pad), d
+        ),
+    )
+
+
 @partial(jax.jit, static_argnames=("pack_ridpos",))
 def _sort_kmers(khi, klo, p1, sc, p2, pack_ridpos: bool = False):
     """Phase 1b: k-mer-major sort (separate program; see _extract_kmers)."""
@@ -721,6 +809,157 @@ def _size_bucket(n: int) -> int:
     return ((n + step - 1) // step) * step
 
 
+def _detect_overlaps_split(reads, config: BellaConfig, budget: float):
+    """Beyond-HBM fused path: k-mer-space split counting with on-device
+    accumulation (the reference's --split-count, include/kmercount.hpp:
+    478-534, without its full re-scan per pass).
+
+    1. the code stream is chunked at read boundaries; each chunk is
+       extracted (4-phase) and partitioned by hash(kmer) % splits into
+       per-pass regions of one big device accumulator (so only a chunk's
+       working set plus the 13 B/position accumulator are resident),
+    2. each pass region is sorted + counted + reliable-compacted on its
+       own (region-sized sorts, the memory win),
+    3. ONE packed emit+chain runs over the concatenated reliable rows
+       (passes own disjoint k-mer sets, so segments stay contiguous and
+       within-segment ranks remain valid).
+    All capacities are bucketed; overflow is counted and logged, never
+    silent."""
+    k = config.kmer_size
+    u32 = jnp.uint32
+    total = len(reads.codes)
+    R = reads.num_reads
+    offsets = reads.offsets.astype(np.int64)
+    max_len = int(reads.lengths.max()) if R else 0
+
+    splits = max(int(np.ceil(total * 100 / budget)), 2)
+    # chunk size: the partition sort (5 operands, x2 out-of-place) is
+    # the chunk-resident cost
+    cb = _size_bucket(max(min(int(budget / 240), total), max_len + 8, 1 << 16))
+    cb = ((cb + 3) // 4) * 4
+    region_cap = _size_bucket(total // splits * 7 // 5 + (1 << 14))
+    cap_cp = _size_bucket(cb * 8 // (5 * splits) + 4096)
+    rel_cap = _size_bucket(max(total // 3, 1 << 16))
+
+    sent = np.uint32(0xFFFFFFFF)
+    akhi = jnp.full((splits * region_cap,), sent, u32)
+    aklo = jnp.full((splits * region_cap,), sent, u32)
+    aridpos = jnp.zeros((splits * region_cap,), u32)
+    asc = jnp.zeros((splits * region_cap,), bool)
+
+    overflow = 0
+    off = [0] * splits
+    lo = 0
+    while lo < R:
+        hi = lo + 1
+        while hi < R and offsets[hi + 1] - offsets[lo] <= cb:
+            hi += 1
+        span = int(offsets[hi] - offsets[lo])
+        codes_c = reads.codes[int(offsets[lo]):int(offsets[hi])]
+        lengths_c = reads.lengths[lo:hi].astype(np.int32)
+        offs_c = (offsets[lo:hi + 1] - offsets[lo]).astype(np.int32)
+        if span < cb:  # phantom read pads the chunk to the bucket
+            codes_c = np.concatenate(
+                [codes_c, np.zeros(cb - span, codes_c.dtype)]
+            )
+            lengths_c = np.append(lengths_c, np.int32(cb - span))
+            offs_c = np.append(offs_c, np.int32(cb))
+        c4 = codes_c.reshape(-1, 4).astype(np.uint8)
+        cbytes = np.concatenate([
+            c4[:, 0] | (c4[:, 1] << 2) | (c4[:, 2] << 4) | (c4[:, 3] << 6),
+            np.zeros(8, np.uint8),
+        ])
+        khi, klo_a, ridpos, sc, starts = _chunk_partition(
+            jnp.asarray(cbytes), jnp.asarray(lengths_c),
+            jnp.asarray(offs_c), jnp.int32(hi - lo), jnp.int32(lo),
+            kmer_size=k, splits=splits,
+        )
+        st = np.asarray(starts)
+        for p in range(splits):
+            nv = int(st[p + 1] - st[p])
+            if nv <= 0:
+                continue
+            if nv > cap_cp:
+                overflow += nv - cap_cp
+                nv = cap_cp
+            room = region_cap - off[p]
+            if nv > room:
+                overflow += nv - room
+                nv = room
+            if nv <= 0:
+                continue
+            akhi, aklo, aridpos, asc = _accum_append(
+                akhi, aklo, aridpos, asc, khi, klo_a, ridpos, sc,
+                np.int32(st[p]), np.int32(nv),
+                np.int32(p * region_cap + off[p]), cap=cap_cp,
+            )
+            off[p] += nv
+        del khi, klo_a, ridpos, sc, starts
+        lo = hi
+    if overflow:
+        log("splitRoutingOverflowDropped", overflow)
+
+    # per-pass count + reliable compaction into the reliable accumulator
+    asr = jnp.zeros((rel_cap,), jnp.int32)
+    asp = jnp.zeros((rel_cap,), jnp.int32)
+    ascr = jnp.zeros((rel_cap,), jnp.int32)
+    arank = jnp.zeros((rel_cap,), jnp.int32)
+    rel_off = 0
+    num_kmers = 0
+    nnz_total = 0
+    rel_drop = 0
+    for p in range(splits):
+        sl_lo, sl_hi = p * region_cap, (p + 1) * region_cap
+        khi_p, klo_p, rp_p, sc_p, _ = _sort_kmers(
+            akhi[sl_lo:sl_hi], aklo[sl_lo:sl_hi],
+            aridpos[sl_lo:sl_hi], asc[sl_lo:sl_hi], None,
+            pack_ridpos=True,
+        )
+        reliable, sr, sp, rank, nnz_p, nk_p = _count_sorted(
+            khi_p, klo_p, rp_p, sc_p, None,
+            lower=config.lower_freq, upper=config.upper_freq,
+            pack_ridpos=True,
+        )
+        n_p = int(nnz_p)
+        num_kmers += int(nk_p)
+        nnz_total += n_p
+        if n_p == 0:
+            continue
+        size_p = min(_size_bucket(max(n_p, 1 << 14)), region_cap)
+        csr, csp, csc, crank = _compact_reliable(
+            reliable, sr, sp, sc_p, rank, size_p
+        )
+        nv = min(n_p, rel_cap - rel_off)
+        if nv < n_p:
+            rel_drop += n_p - nv
+        if nv <= 0:
+            continue
+        asr, asp, ascr, arank = _accum_append_rel(
+            asr, asp, ascr, arank, csr, csp, csc, crank,
+            np.int32(nv), np.int32(rel_off), cap=size_p,
+        )
+        rel_off += nv
+    if rel_drop:
+        log("splitReliableOverflowDropped", rel_drop)
+    if rel_off == 0:
+        return CandidatePairs.empty(), num_kmers, 0
+
+    lengths_dev = jnp.asarray(reads.lengths.astype(np.int32))
+    esize = min(_size_bucket(max(rel_off, 1 << 14)), rel_cap)
+    hv, k3, pv, n_cand = _fused_emit_packed(
+        jnp.int32(rel_off), asr[:esize], asp[:esize], ascr[:esize],
+        arank[:esize], lengths_dev,
+        kmer_size=k, upper=config.upper_freq, bin_size=config.bin_size,
+    )
+    out = _chain_packed(
+        hv, k3, pv, lengths_dev, kmer_size=k, bin_size=config.bin_size
+    )
+    n_live = int(n_cand)
+    del hv, k3, pv
+    pairs = _compact(out, live_rows=n_live)
+    return pairs, num_kmers, nnz_total
+
+
 def detect_overlaps(reads, config: BellaConfig):
     """Fused (4-dispatch) end-to-end overlap detection for the common
     configuration (plain k-mers or HOPC, single split). Intermediates
@@ -731,11 +970,20 @@ def detect_overlaps(reads, config: BellaConfig):
     m = len(reads.codes) - k + 1
     if m <= 0:
         return CandidatePairs.empty(), 0, 0
-    if m * 100 > config.effective_memory_mb * 1e6:
-        # beyond the device budget (~100 device bytes per k-mer position
-        # across the count sort + emit/chain programs): fall back to the
-        # k-mer-range staged path (the reference's column-block staging,
-        # include/overlap.hpp:682-710)
+    budget = config.effective_memory_mb * 1e6
+    if m * 100 > budget:
+        # beyond the single-pass device budget (~100 device bytes per
+        # k-mer position across the count sort + emit/chain programs):
+        # use the fused split-count path while the 13 B/position
+        # accumulator (+ slack) still fits, else the host-staged path
+        # (the reference's column-block staging, overlap.hpp:682-710)
+        max_len = int(reads.lengths.max()) if reads.num_reads else 0
+        if (
+            reads.num_reads <= 0xFFFF and max_len <= 0xFFFF
+            and config.bin_size >= 3 and not config.use_hopc
+            and k <= 28 and len(reads.codes) * 30 <= budget
+        ):
+            return _detect_overlaps_split(reads, config, budget)
         from bella_tpu.kmers.count import build_reliable_triples
 
         tri = build_reliable_triples(reads, config)

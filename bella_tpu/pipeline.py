@@ -52,15 +52,15 @@ def run_pipeline(
     # compacts reliable rows before pair emission, so its footprint is
     # ~100 B per k-mer position (sort operands + scratch), never the
     # expanded candidate stream.
-    m = len(reads.codes) - config.kmer_size + 1
     fused = (
         not (config.use_minimizer or config.use_syncmer)
         and config.split_count == 1
-        and m * 100 <= config.effective_memory_mb * 1e6
         and reads.num_reads > 0
         and config.write_matrix is None
         and config.checkpoint is None
     )
+    # memory is handled inside detect_overlaps: single-pass fused within
+    # the budget, the fused split-count path beyond it, host staging last
     if fused:
         from bella_tpu.overlap.pairs import detect_overlaps
 
