@@ -224,10 +224,13 @@ _FIELDS = (
     "read_h", "read_v", "pos_h", "pos_v", "count", "matches",
     "overlap_est", "seed_rc",
 )
+# packed-dict variant (_chain_packed): h/v and count/matches ride as
+# single u32 columns until after the seed compaction
+_FIELDS_PACKED = ("hv", "cm", "pos_h", "pos_v", "overlap_est", "seed_rc")
 
 
-@partial(jax.jit, static_argnames=("size",))
-def _gather_seeds(out, size: int):
+@partial(jax.jit, static_argnames=("size", "fields"))
+def _gather_seeds(out, size: int, fields=_FIELDS):
     """Device-side compaction: find the seed-row indices with a
     SINGLE-operand sort (dead bit in bit 31, row index below — streams
     are < 2^31 rows), then gather the eight field arrays at just those
@@ -247,7 +250,7 @@ def _gather_seeds(out, size: int):
         )
         skey = jax.lax.sort(key)
         idx = (skey[:size] & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
-        fields = [jnp.take(out[f], idx, axis=0) for f in _FIELDS]
+        cols = [jnp.take(out[f], idx, axis=0) for f in fields]
     else:
         # many seeds (large corpora): multi-million-row gathers are the
         # slow path on this toolchain — carry the payloads through a
@@ -255,12 +258,12 @@ def _gather_seeds(out, size: int):
         dead = (~out["seed_mask"]).astype(jnp.uint32)
         iota = jax.lax.iota(jnp.int32, n)
         sorted_all = jax.lax.sort(
-            (dead, iota) + tuple(out[f] for f in _FIELDS), num_keys=2
+            (dead, iota) + tuple(out[f] for f in fields), num_keys=2
         )
-        fields = [a[:size] for a in sorted_all[2:]]
-    # one stacked (8, size) int32 block -> ONE device->host transfer
+        cols = [a[:size] for a in sorted_all[2:]]
+    # one stacked (F, size) int32 block -> ONE device->host transfer
     # (each separate transfer pays the relay's ~27 ms round trip)
-    return jnp.stack([a.astype(jnp.int32) for a in fields])
+    return jnp.stack([a.astype(jnp.int32) for a in cols])
 
 
 def _compact(out, live_rows=None) -> CandidatePairs:
@@ -277,8 +280,17 @@ def _compact(out, live_rows=None) -> CandidatePairs:
             n = lim
     size = 1 << max(10, (num - 1).bit_length())  # pow2 buckets: stable jits
     size = min(size, n)
-    stacked = np.asarray(_gather_seeds(out, size))[:, :num]
-    fields = dict(zip(_FIELDS, stacked))
+    packed = "hv" in out
+    names = _FIELDS_PACKED if packed else _FIELDS
+    stacked = np.asarray(_gather_seeds(out, size, fields=names))[:, :num]
+    fields = dict(zip(names, stacked))
+    if packed:
+        hv = fields.pop("hv").astype(np.uint32)
+        cm = fields.pop("cm").astype(np.uint32)
+        fields["read_h"] = (hv >> 16).astype(np.int32)
+        fields["read_v"] = (hv & 0xFFFF).astype(np.int32)
+        fields["count"] = (cm >> 16).astype(np.int32)
+        fields["matches"] = (cm & 0xFFFF).astype(np.int32)
     fields["seed_rc"] = fields["seed_rc"].astype(bool)
     return CandidatePairs(**fields)
 
@@ -714,15 +726,44 @@ def _compact_reliable(live, sr, sp, sc, rank, size: int):
     return sr, sp, sc, rank
 
 
+@partial(jax.jit, donate_argnums=(0, 1, 2))
+def _chain_sort_packed(hv, k3, pv):
+    """The chain's sort, alone and with donated inputs: all three
+    operands are sort keys so the winning bin's seed row is independent
+    of the emit stream's order (the 4-phase packed extractor emits
+    phase-major, the triples path position-major)."""
+    return jax.lax.sort((hv, k3, pv), num_keys=3)
+
+
+def _chain_packed(
+    hv, k3, pv, read_lengths, kmer_size: int, bin_size: int,
+    live_rows=None,
+):
+    """Packed sort + segmented chain (see _fused_emit_packed).
+
+    live_rows (host int, from the emit stage) bounds the live candidate
+    rows: the sort pushes sentinels to the tail, so the scans and the
+    output dict — a full-stream materialisation — only cover the live
+    prefix (bucketed). At 100M+-row streams this is the difference
+    between fitting HBM and not."""
+    hv, k3, pv = _chain_sort_packed(hv, k3, pv)
+    if live_rows is not None:
+        lim = min(_size_bucket(max(int(live_rows), 1 << 10)), hv.shape[0])
+        if lim < hv.shape[0]:
+            hv, k3, pv = hv[:lim], k3[:lim], pv[:lim]
+    return _chain_scans_packed(
+        hv, k3, pv, read_lengths, kmer_size=kmer_size, bin_size=bin_size
+    )
+
+
 @partial(jax.jit, static_argnames=("kmer_size", "bin_size"))
-def _chain_packed(hv, k3, pv, read_lengths, kmer_size: int, bin_size: int):
-    """Packed sort + segmented chain (see _fused_emit_packed)."""
+def _chain_scans_packed(
+    hv, k3, pv, read_lengths, kmer_size: int, bin_size: int
+):
+    """Segmented chain scans over the (pair, bin, posH, posV)-sorted
+    live prefix."""
     k = kmer_size
     u32 = jnp.uint32
-    # all three operands are sort keys: the winning bin's seed row is then
-    # independent of the emit stream's order (the 4-phase packed extractor
-    # emits phase-major, the triples path position-major)
-    hv, k3, pv = jax.lax.sort((hv, k3, pv), num_keys=3)
     live = hv != u32(0xFFFFFFFF)
     h = (hv >> u32(16)).astype(jnp.int32)
     v = (hv & u32(0xFFFF)).astype(jnp.int32)
@@ -761,9 +802,17 @@ def _chain_packed(hv, k3, pv, read_lengths, kmer_size: int, bin_size: int):
     best = seg.seg_max_bcast(score, pair_b)
     seed_mask = (score == best) & bin_b & live
 
+    # packed outputs (hv as-is; count|matches in one u32): this dict is
+    # a full-candidate-stream materialisation — at 100M+ rows every
+    # field column costs ~0.5 GB, so h/v/count/matches stay packed until
+    # after the seed compaction
+    cm = (
+        (jnp.minimum(count, (1 << 16) - 1).astype(u32) << u32(16))
+        | jnp.minimum(support, (1 << 16) - 1).astype(u32)
+    )
     return dict(
-        seed_mask=seed_mask, read_h=h, read_v=v, pos_h=pos_h, pos_v=pos_v,
-        count=count, matches=support, overlap_est=ov,
+        seed_mask=seed_mask, hv=hv, cm=cm, pos_h=pos_h, pos_v=pos_v,
+        overlap_est=ov,
         seed_rc=flip,
     )
 
@@ -941,6 +990,9 @@ def _detect_overlaps_split(reads, config: BellaConfig, budget: float):
         rel_off += nv
     if rel_drop:
         log("splitReliableOverflowDropped", rel_drop)
+    # the 13 B/position partition accumulator is dead weight from here;
+    # free it before the emit/chain stages allocate the candidate stream
+    del akhi, aklo, aridpos, asc
     if rel_off == 0:
         return CandidatePairs.empty(), num_kmers, 0
 
@@ -951,12 +1003,14 @@ def _detect_overlaps_split(reads, config: BellaConfig, budget: float):
         arank[:esize], lengths_dev,
         kmer_size=k, upper=config.upper_freq, bin_size=config.bin_size,
     )
-    out = _chain_packed(
-        hv, k3, pv, lengths_dev, kmer_size=k, bin_size=config.bin_size
-    )
+    del asr, asp, ascr, arank
     n_live = int(n_cand)
+    out = _chain_packed(
+        hv, k3, pv, lengths_dev, kmer_size=k, bin_size=config.bin_size,
+        live_rows=n_live,
+    )
     del hv, k3, pv
-    pairs = _compact(out, live_rows=n_live)
+    pairs = _compact(out)
     return pairs, num_kmers, nnz_total
 
 
@@ -1054,14 +1108,17 @@ def detect_overlaps(reads, config: BellaConfig):
             nnz.astype(jnp.int32), csr, csp, csc, crank, lengths_dev,
             kmer_size=k, upper=config.upper_freq, bin_size=config.bin_size,
         )
-        out = _chain_packed(
-            hv, k3, pv, lengths_dev, kmer_size=k, bin_size=config.bin_size
-        )
-        # this sync overlaps the chain dispatch executing on device; the
-        # live count limits the seed compaction to the live prefix
+        # sync the live count first (a ~28 ms round trip): the chain's
+        # scans and output dict then cover only the live prefix of the
+        # sorted stream — the full-stream dict is the memory hog at
+        # 100M+-row streams, and shorter scans are faster everywhere
         n_live = int(_n_cand)
+        out = _chain_packed(
+            hv, k3, pv, lengths_dev, kmer_size=k,
+            bin_size=config.bin_size, live_rows=n_live,
+        )
         del hv, k3, pv, csr, csp, csc, crank
-        pairs = _compact(out, live_rows=n_live)
+        pairs = _compact(out)
         return pairs, int(num_kmers), int(nnz)
     else:
         h, v, bin_id, pos_h, pos_v, flip, ov = _fused_emit(
@@ -1104,7 +1161,7 @@ def generate_candidates(
         size = 1 << max(14, (n - 1).bit_length())
         kid = _pad_to_bucket(triples.kmer_ids, size, -1)
         rank = _rank_from_ids(jnp.asarray(kid))
-        hv, k3, pv, _ = _fused_emit_packed(
+        hv, k3, pv, n_cand = _fused_emit_packed(
             jnp.int32(n),
             jnp.asarray(_pad_to_bucket(triples.read_ids, size, 0)),
             jnp.asarray(_pad_to_bucket(triples.positions, size, 0)),
@@ -1118,6 +1175,7 @@ def generate_candidates(
         out = _chain_packed(
             hv, k3, pv, lengths,
             kmer_size=config.kmer_size, bin_size=config.bin_size,
+            live_rows=int(n_cand),
         )
         return _compact(out)
     expanded = triples.nnz * (config.upper_freq - 1)
