@@ -747,6 +747,10 @@ def _chain_packed(
     prefix (bucketed). At 100M+-row streams this is the difference
     between fitting HBM and not."""
     hv, k3, pv = _chain_sort_packed(hv, k3, pv)
+    if callable(live_rows):
+        # the host round trip for the live count overlaps the sort
+        # executing on device
+        live_rows = live_rows()
     if live_rows is not None:
         lim = min(_size_bucket(max(int(live_rows), 1 << 10)), hv.shape[0])
         if lim < hv.shape[0]:
@@ -1004,10 +1008,9 @@ def _detect_overlaps_split(reads, config: BellaConfig, budget: float):
         kmer_size=k, upper=config.upper_freq, bin_size=config.bin_size,
     )
     del asr, asp, ascr, arank
-    n_live = int(n_cand)
     out = _chain_packed(
         hv, k3, pv, lengths_dev, kmer_size=k, bin_size=config.bin_size,
-        live_rows=n_live,
+        live_rows=lambda: int(n_cand),
     )
     del hv, k3, pv
     pairs = _compact(out)
@@ -1108,14 +1111,13 @@ def detect_overlaps(reads, config: BellaConfig):
             nnz.astype(jnp.int32), csr, csp, csc, crank, lengths_dev,
             kmer_size=k, upper=config.upper_freq, bin_size=config.bin_size,
         )
-        # sync the live count first (a ~28 ms round trip): the chain's
-        # scans and output dict then cover only the live prefix of the
-        # sorted stream — the full-stream dict is the memory hog at
-        # 100M+-row streams, and shorter scans are faster everywhere
-        n_live = int(_n_cand)
+        # the chain's scans and output dict cover only the live prefix
+        # of the sorted stream — the full-stream dict is the memory hog
+        # at 100M+-row streams, and shorter scans are faster everywhere;
+        # the deferred live-count sync overlaps the sort dispatch
         out = _chain_packed(
             hv, k3, pv, lengths_dev, kmer_size=k,
-            bin_size=config.bin_size, live_rows=n_live,
+            bin_size=config.bin_size, live_rows=lambda: int(_n_cand),
         )
         del hv, k3, pv, csr, csp, csc, crank
         pairs = _compact(out)
@@ -1175,7 +1177,7 @@ def generate_candidates(
         out = _chain_packed(
             hv, k3, pv, lengths,
             kmer_size=config.kmer_size, bin_size=config.bin_size,
-            live_rows=int(n_cand),
+            live_rows=lambda: int(n_cand),
         )
         return _compact(out)
     expanded = triples.nnz * (config.upper_freq - 1)
