@@ -188,3 +188,44 @@ def write_overlap_native(
         lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )
     return got >= 0
+
+
+def write_paf_native(
+    path: str, reads: ReadSet,
+    read_h, read_v, score, ov, strand_rc, beg_v, end_v, beg_h, end_h,
+    append: bool = False,
+) -> bool:
+    """Bulk PAF write via the native runtime; returns False if the
+    native library is unavailable (caller falls back to paf_rows).
+    Strand flip to original coordinates happens in C
+    (toOriginalCoordinates, include/overlap.hpp:149-154)."""
+    import ctypes
+
+    from bella_tpu.native import get_lib
+
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "write_paf"):
+        return False
+    blob, offs = _name_table(reads)
+    lens = reads.lengths.astype(np.int64)
+    arrs = [np.ascontiguousarray(a, np.int32) for a in
+            (read_h, read_v, score, beg_v, end_v, beg_h, end_h)]
+    ov64 = np.ascontiguousarray(ov, np.int64)
+    rc8 = np.ascontiguousarray(strand_rc, np.uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    got = lib.write_paf(
+        path.encode(), 1 if append else 0, ctypes.c_int64(len(arrs[0])),
+        arrs[0].ctypes.data_as(i32p),
+        arrs[1].ctypes.data_as(i32p),
+        arrs[2].ctypes.data_as(i32p),
+        ov64.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        rc8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        arrs[3].ctypes.data_as(i32p),
+        arrs[4].ctypes.data_as(i32p),
+        arrs[5].ctypes.data_as(i32p),
+        arrs[6].ctypes.data_as(i32p),
+        blob,
+        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return got >= 0

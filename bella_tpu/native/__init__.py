@@ -55,6 +55,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ]
         lib.fastq_parse.restype = ctypes.c_int64
         lib.write_m4.restype = ctypes.c_int64
+        lib.write_paf.restype = ctypes.c_int64
         lib.write_overlap.restype = ctypes.c_int64
         _lib = lib
         return _lib

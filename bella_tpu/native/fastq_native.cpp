@@ -174,6 +174,46 @@ int64_t write_m4(const char* path, int append, int64_t nrows,
     return total;
 }
 
+// Bulk PAF writer (include/overlap.hpp:476-489 row format):
+//   nameV lenV begV endV strand nameH lenH begH endH score ov 255
+// For '-' strand the H coordinates flip to original coordinates
+// (toOriginalCoordinates, include/overlap.hpp:149-154).
+int64_t write_paf(const char* path, int append, int64_t nrows,
+                  const int32_t* read_h, const int32_t* read_v,
+                  const int32_t* score, const int64_t* ov,
+                  const uint8_t* strand_rc,
+                  const int32_t* beg_v, const int32_t* end_v,
+                  const int32_t* beg_h, const int32_t* end_h,
+                  const char* name_buf, const int64_t* name_offs,
+                  const int64_t* lens) {
+    FILE* f = fopen(path, append ? "ab" : "wb");
+    if (!f) return -1;
+    char line[1024];
+    int64_t total = 0;
+    for (int64_t i = 0; i < nrows; i++) {
+        int32_t h = read_h[i], v = read_v[i];
+        long long lh = (long long)lens[h];
+        long long bh = beg_h[i], eh = end_h[i];
+        char strand = '+';
+        if (strand_rc[i]) {
+            strand = '-';
+            long long nb = lh - eh, ne = lh - bh;
+            bh = nb;
+            eh = ne;
+        }
+        int m = snprintf(
+            line, sizeof line,
+            "%s\t%lld\t%d\t%d\t%c\t%s\t%lld\t%lld\t%lld\t%d\t%lld\t255\n",
+            name_buf + name_offs[v], (long long)lens[v], beg_v[i], end_v[i],
+            strand, name_buf + name_offs[h], lh, bh, eh, score[i],
+            (long long)ov[i]);
+        fwrite(line, 1, m, f);
+        total += m;
+    }
+    fclose(f);
+    return total;
+}
+
 // Bulk overlap-only writer: nameV nameH count ov lenV lenH
 int64_t write_overlap(const char* path, int append, int64_t nrows,
                       const int32_t* read_h, const int32_t* read_v,

@@ -155,12 +155,22 @@ def run_pipeline(
             idx = np.flatnonzero(passed)
             num_output = len(idx)
             if config.output_paf:
-                rows = writers.paf_rows(
-                    reads,
+                if output is not None and writers.write_paf_native(
+                    output, reads,
                     pairs.read_h[idx], pairs.read_v[idx],
                     aln.score[idx], dec["overlap"][idx], aln.strand_rc[idx],
-                    aln.beg_v[idx], aln.end_v[idx], aln.beg_h[idx], aln.end_h[idx],
-                )
+                    aln.beg_v[idx], aln.end_v[idx],
+                    aln.beg_h[idx], aln.end_h[idx],
+                ):
+                    output = None  # written natively
+                else:
+                    rows = writers.paf_rows(
+                        reads,
+                        pairs.read_h[idx], pairs.read_v[idx],
+                        aln.score[idx], dec["overlap"][idx], aln.strand_rc[idx],
+                        aln.beg_v[idx], aln.end_v[idx],
+                        aln.beg_h[idx], aln.end_h[idx],
+                    )
             elif output is not None and writers.write_m4_native(
                 output, reads,
                 pairs.read_h[idx], pairs.read_v[idx], pairs.count[idx],

@@ -58,3 +58,43 @@ def test_native_no_trailing_newline(tmp_path):
     rs = parse_fastq(str(p))
     assert rs.num_reads == 1
     assert rs.sequence(0) == "ACGT"
+
+
+def test_native_paf_matches_python(tmp_path):
+    """write_paf (C) emits byte-identical rows to paf_rows (python),
+    including the '-'-strand coordinate flip."""
+    import numpy as np
+
+    from bella_tpu.io import writers
+    from bella_tpu.io.fastq import ReadSet
+
+    rng = np.random.default_rng(5)
+    lens = np.array([500, 800, 650], np.int64)
+    offsets = np.concatenate([[0], np.cumsum(lens)])
+    reads = ReadSet(
+        names=["rA", "rB/1", "rC longsuffix".split()[0]],
+        codes=rng.integers(0, 4, int(lens.sum())).astype(np.int8),
+        offsets=offsets.astype(np.int64),
+        err_bases=0,
+        err_sum=0.0,
+    )
+    rh = np.array([1, 2, 2], np.int32)
+    rv = np.array([0, 0, 1], np.int32)
+    score = np.array([120, 340, 77], np.int32)
+    ov = np.array([400, 600, 300], np.int32)
+    rc = np.array([False, True, False])
+    bv = np.array([10, 20, 30], np.int32)
+    ev = np.array([410, 620, 330], np.int32)
+    bh = np.array([50, 40, 5], np.int32)
+    eh = np.array([450, 640, 305], np.int32)
+
+    path = str(tmp_path / "out.paf")
+    ok = writers.write_paf_native(
+        path, reads, rh, rv, score, ov, rc, bv, ev, bh, eh
+    )
+    assert ok, "native PAF writer unavailable"
+    got = open(path).read()
+    want = "".join(
+        writers.paf_rows(reads, rh, rv, score, ov, rc, bv, ev, bh, eh)
+    )
+    assert got == want
