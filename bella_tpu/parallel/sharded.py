@@ -149,6 +149,59 @@ def _local_emit(kmers, read_ids, positions, is_rc, read_lengths,
     return key, pos_h, pos_v, flip, ov
 
 
+def _local_emit_packed(kmers, read_ids, positions, is_rc, read_lengths,
+                       cfg_static) -> Tuple:
+    """Packed-u32 shard emit (ids/positions fit 16 bits): the single-chip
+    (hv, k3, pv) scheme of overlap/pairs.py:_fused_emit_packed, halving
+    the pair-space all_to_all and chain-sort traffic vs the u64 rows."""
+    (k, lower, upper, bin_size) = cfg_static
+    u32 = jnp.uint32
+    sk, sr, sp, sc = jax.lax.sort(
+        (kmers, read_ids, positions, is_rc), num_keys=1
+    )
+    kb = seg.boundaries(sk)
+    ones = jnp.ones_like(sr, dtype=jnp.int32)
+    counts = seg.seg_sum_bcast(ones, kb)
+    reliable = (counts >= lower) & (counts <= upper) & (sk != jnp.asarray(SENTINEL))
+    rank = seg.seg_cumsum(ones, kb) - 1
+    live = reliable
+
+    hvs, k3s, pvs = [], [], []
+    for d in range(1, upper):
+        ra, rb = sr[d:], sr[:-d]
+        pa, pb = sp[d:], sp[:-d]
+        ca, cb = sc[d:], sc[:-d]
+        ok = (rank[d:] >= d) & (ra != rb) & live[d:] & live[:-d]
+        h_is_a = ra > rb
+        h = jnp.where(h_is_a, ra, rb).astype(u32)
+        v = jnp.where(h_is_a, rb, ra).astype(u32)
+        pos_h = jnp.where(h_is_a, pa, pb).astype(jnp.int32)
+        pos_v = jnp.where(h_is_a, pb, pa).astype(u32)
+        flip = jnp.where(h_is_a, ca, cb) != jnp.where(h_is_a, cb, ca)
+
+        len_h = read_lengths[
+            jnp.clip(h.astype(jnp.int32), 0, read_lengths.shape[0] - 1)
+        ]
+        len_v = read_lengths[
+            jnp.clip(v.astype(jnp.int32), 0, read_lengths.shape[0] - 1)
+        ]
+        beg_h = jnp.where(flip, len_h - pos_h - k, pos_h)
+        ov = (
+            jnp.minimum(beg_h, pos_v.astype(jnp.int32))
+            + jnp.minimum(
+                len_h - (beg_h + k), len_v - (pos_v.astype(jnp.int32) + k)
+            )
+            + k
+        )
+        bin_id = jnp.maximum(ov, 0).astype(u32) // u32(bin_size)
+        hv = (h << u32(16)) | v
+        k3 = (bin_id << u32(17)) | (pos_h.astype(u32) << u32(1)) | flip.astype(u32)
+        hvs.append(jnp.where(ok, hv, u32(0xFFFFFFFF)))
+        k3s.append(k3)
+        pvs.append(pos_v)
+    return jnp.concatenate(hvs), jnp.concatenate(k3s), jnp.concatenate(pvs)
+
+
 def sharded_candidates(
     triples: ReliableTriples,
     read_lengths: np.ndarray,
@@ -187,6 +240,16 @@ def sharded_candidates(
     # floor for tiny inputs. Overflow is counted, never silent.
     cap_occ = max(2 * local // n, 1024)
     cap_pair = max(2 * local * (upper - 1) // n, 4096)
+
+    max_len = int(np.asarray(read_lengths).max()) if len(read_lengths) else 0
+    packed = (
+        len(read_lengths) <= 0xFFFF and max_len <= 0xFFFF and bin_size >= 3
+    )
+    if packed:
+        return _sharded_candidates_packed(
+            mesh, kmers, reads, poss, rcs, read_lengths,
+            (k, 1, upper, bin_size), cap_occ, cap_pair,
+        )
 
     @jax.jit
     @partial(
@@ -264,4 +327,87 @@ def sharded_candidates(
         matches=np.asarray(support)[mask],
         overlap_est=np.asarray(ov2)[mask],
         seed_rc=np.asarray(fl2)[mask],
+    )
+
+
+def _sharded_candidates_packed(
+    mesh, kmers, reads, poss, rcs, read_lengths, cfg_static,
+    cap_occ: int, cap_pair: int,
+) -> CandidatePairs:
+    """Packed-u32 multi-device path (ids/positions fit 16 bits): k-mer
+    and pair resharding as in the u64 step, but pair rows travel as the
+    (hv, k3, pv) triple and the chain reuses the single-chip live-prefix
+    scans."""
+    from bella_tpu.overlap.pairs import _chain_scans_packed
+
+    (k, lower, upper, bin_size) = cfg_static
+    u32 = jnp.uint32
+
+    @jax.jit
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P()),
+        out_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
+                   P(AXIS), P(AXIS)),
+        check_vma=False,
+    )
+    def step(kmer_ids, read_ids, positions, is_rc, rl):
+        nloc = jax.lax.axis_size(AXIS)
+        # ---- reshard by k-mer ----
+        dest = (kmer_ids % nloc).astype(jnp.int32)
+        dest = jnp.where(kmer_ids < 0, nloc, dest)
+        (kk, rr, pp, cc), valid, ovf1 = _route(
+            kmer_ids, dest, (kmer_ids, read_ids, positions, is_rc), cap_occ
+        )
+        kk_u = jnp.where(
+            valid & (kk >= 0), kk.astype(_U64), jnp.asarray(SENTINEL)
+        )
+
+        # ---- local count + packed emit ----
+        hv, k3, pv = _local_emit_packed(
+            kk_u, rr, pp, cc, rl, (k, lower, upper, bin_size)
+        )
+
+        # ---- reshard by pair (u32 keys, half the row bytes) ----
+        pdest = (hash64(hv.astype(_U64)) % _U64(nloc)).astype(jnp.int32)
+        pdest = jnp.where(hv == u32(0xFFFFFFFF), nloc, pdest)
+        (hv2, k32, pv2), pvalid, ovf2 = _route(
+            hv, pdest, (hv, k3, pv), cap_pair
+        )
+        hv2 = jnp.where(pvalid, hv2, u32(0xFFFFFFFF))
+
+        # ---- chain locally (single-chip scans over the sorted rows) ----
+        hv2, k32, pv2 = jax.lax.sort((hv2, k32, pv2), num_keys=3)
+        out = _chain_scans_packed(
+            hv2, k32, pv2, rl, kmer_size=k, bin_size=bin_size
+        )
+        return (
+            out["seed_mask"], out["hv"], out["cm"], out["pos_h"],
+            out["pos_v"], out["overlap_est"], out["seed_rc"],
+            (ovf1 + ovf2)[None],
+        )
+
+    out = step(
+        jnp.asarray(kmers), jnp.asarray(reads), jnp.asarray(poss),
+        jnp.asarray(rcs), jnp.asarray(read_lengths.astype(np.int32)),
+    )
+    seed_mask, hv, cm, ph, pv, ov, rc, ovf = out
+    overflow = int(np.asarray(ovf).sum())
+    if overflow:
+        from bella_tpu.utils.log import log
+
+        log("routingOverflowDropped", overflow)
+    mask = np.asarray(seed_mask)
+    hv_np = np.asarray(hv)[mask].astype(np.uint32)
+    cm_np = np.asarray(cm)[mask].astype(np.uint32)
+    return CandidatePairs(
+        read_h=(hv_np >> 16).astype(np.int32),
+        read_v=(hv_np & 0xFFFF).astype(np.int32),
+        pos_h=np.asarray(ph)[mask],
+        pos_v=np.asarray(pv)[mask],
+        count=(cm_np >> 16).astype(np.int32),
+        matches=(cm_np & 0xFFFF).astype(np.int32),
+        overlap_est=np.asarray(ov)[mask],
+        seed_rc=np.asarray(rc)[mask],
     )
