@@ -260,7 +260,12 @@ def extend_batch_pallas(
     # — i16 vectors are second-class and lower by unpacking to 32-bit,
     # so there is no lane-density win to recover; int32 is the fast path.
     use_i16 = False and 2 * L + CHUNK < I16_MAX_D
-    bb = 16 if use_i16 else 8
+    # pairs per block, from measurement: per-step cost has a ~2-vreg
+    # fixed floor (band 128 == band 256 at bb=8) and grows linearly
+    # past it (bb=16 at W=256 is 1.4x SLOWER per base; bb=32 at W=128
+    # only matches bb=8). 8 pairs x 256 lanes is the sweet spot; at
+    # narrow bands wider blocks recover the idle vreg.
+    bb = 16 if use_i16 else (32 if W <= 128 else 8)
     seq_dt = jnp.int16 if use_i16 else jnp.int32
 
     # pad: B to blocks of bb; L so windows/feeds never read out of range
