@@ -108,14 +108,20 @@ def _kernel(t_ref, q_ref, tl_ref, ql_ref, score_ref, te_ref, qe_ref,
     qwin = jnp.where(lane == 0, q1, jnp.where(lane == 1, q0, pad))
 
     best = jnp.zeros((bb, 1), jnp.int32)
-    best_t = jnp.zeros((bb, 1), jnp.int32)
-    best_q = jnp.zeros((bb, 1), jnp.int32)
+    # coordinate tracking is PER LANE (best_lane/d_best) instead of a
+    # per-step argmax: the second cross-lane reduce per step was ~20% of
+    # the step's serial latency chain. The final selection (min d, then
+    # min lane, among lanes holding the global best) is exactly the
+    # per-step semantics: a lane at the global best recorded its first
+    # time reaching it, so min-d is the first global occurrence.
+    best_lane = jnp.zeros((bb, W), jnp.int32)
+    d_best = jnp.zeros((bb, W), jnp.int32)
     # alive is carried as int32 0/1: Mosaic cannot legalize loop-carried
     # i1 vectors (scf.yield layout mismatch)
     alive = ((t_len + q_len) > 0).astype(jnp.int32)
 
     def step(s, st):
-        (a1, a2, twin, qwin, tfeed, qfeed, best, best_t, best_q,
+        (a1, a2, twin, qwin, tfeed, qfeed, best, best_lane, d_best,
          alive, d) = st
         one = jnp.int32(1)
         lo = _lo(d, W)
@@ -150,17 +156,16 @@ def _kernel(t_ref, q_ref, tl_ref, ql_ref, score_ref, te_ref, qe_ref,
         valid = (i <= t_len_s) & (j >= 0) & (j <= q_len_s)
         a3 = jnp.where(valid, jnp.maximum(a3, ninf), ninf)
 
-        # reductions in int32 (Mosaic has no int16 reductions)
+        # ONE cross-lane reduction per step (x-drop liveness); the lane
+        # maxima update element-wise, gated on liveness so records
+        # freeze at x-drop death exactly as the per-step argmax did
         a3_32 = a3.astype(jnp.int32)
         cur = jnp.max(a3_32, axis=1, keepdims=True)
-        argp = jnp.min(
-            jnp.where(a3_32 == cur, lane32, jnp.int32(W)),
-            axis=1, keepdims=True,
-        )
+        gate = (alive > 0) & (a3_32 > best_lane)
+        best_lane = jnp.where(gate, a3_32, best_lane)
+        d_best = jnp.where(gate, d, d_best)
         improved = (alive > 0) & (cur > best)
         best = jnp.where(improved, cur, best)
-        best_t = jnp.where(improved, lo + argp, best_t)
-        best_q = jnp.where(improved, d - (lo + argp), best_q)
         alive = (
             (alive > 0) & (cur >= best - jnp.int32(xdrop)) & (d < t_len + q_len)
         ).astype(jnp.int32)
@@ -175,8 +180,8 @@ def _kernel(t_ref, q_ref, tl_ref, ql_ref, score_ref, te_ref, qe_ref,
         tfeed = jnp.where(adv, _roll_l(tfeed), tfeed)
         qfeed = jnp.where(adv, qfeed, _roll_l(qfeed))
 
-        return (a2, a3, twin, qwin, tfeed, qfeed, best, best_t,
-                best_q, alive, d + one)
+        return (a2, a3, twin, qwin, tfeed, qfeed, best, best_lane,
+                d_best, alive, d + one)
 
     def load_feed(ref, ptr):
         """Feed refill at an arbitrary offset: Mosaic only allows dynamic
@@ -191,24 +196,24 @@ def _kernel(t_ref, q_ref, tl_ref, ql_ref, score_ref, te_ref, qe_ref,
         return rot[:, :chunk_steps]
 
     def chunk(st):
-        (a1, a2, twin, qwin, best, best_t, best_q, alive, d, t_ptr,
+        (a1, a2, twin, qwin, best, best_lane, d_best, alive, d, t_ptr,
          q_ptr, c) = st
         tfeed = load_feed(t_ref, t_ptr)
         qfeed = load_feed(q_ref, q_ptr)
         out = jax.lax.fori_loop(
             0, chunk_steps, step,
-            (a1, a2, twin, qwin, tfeed, qfeed, best, best_t, best_q,
+            (a1, a2, twin, qwin, tfeed, qfeed, best, best_lane, d_best,
              alive, d),
             unroll=chunk_steps,  # Mosaic fori supports only unroll=1 or
             # full; full unroll removes per-step loop overhead
         )
-        (a1, a2, twin, qwin, _tf, _qf, best, best_t, best_q, alive,
+        (a1, a2, twin, qwin, _tf, _qf, best, best_lane, d_best, alive,
          d_end) = out
         # T chars consumed this chunk = total band advance = lo(d_end)-lo(d)
         adv = _lo(d_end, W) - _lo(d, W)
         t_ptr = t_ptr + adv
         q_ptr = q_ptr + (jnp.int32(chunk_steps) - adv)
-        return (a1, a2, twin, qwin, best, best_t, best_q, alive, d_end,
+        return (a1, a2, twin, qwin, best, best_lane, d_best, alive, d_end,
                 t_ptr, q_ptr, c + jnp.int32(1))
 
     def cond(st):
@@ -217,12 +222,24 @@ def _kernel(t_ref, q_ref, tl_ref, ql_ref, score_ref, te_ref, qe_ref,
         any_alive = jnp.max(st[7]) > 0
         return any_alive & (st[11] < jnp.int32(max_chunks))
 
-    st = (a1, a2, twin, qwin, best, best_t, best_q, alive,
+    st = (a1, a2, twin, qwin, best, best_lane, d_best, alive,
           jnp.int32(2), jnp.int32(W - 1), jnp.int32(2), jnp.int32(0))
     st = jax.lax.while_loop(cond, chunk, st)
-    score_ref[:] = st[4]
-    te_ref[:] = st[5]
-    qe_ref[:] = st[6]
+    best, best_lane, d_best = st[4], st[5], st[6]
+    # final coordinate selection: min (d, lane) among lanes holding the
+    # global best == first step reaching it, then lowest lane (the exact
+    # per-step argmax tie-break); W is a power of two so d*W+lane packs
+    at_best = best_lane == best
+    key = jnp.where(
+        at_best, d_best * jnp.int32(W) + lane32, jnp.int32(0x7FFFFFFF)
+    )
+    kmin = jnp.min(key, axis=1, keepdims=True)
+    lane_sel = kmin & jnp.int32(W - 1)
+    d_sel = kmin >> jnp.int32(W.bit_length() - 1)
+    te = _lo(d_sel, W) + lane_sel
+    score_ref[:] = best
+    te_ref[:] = te
+    qe_ref[:] = d_sel - te
 
 
 @functools.partial(
