@@ -136,9 +136,23 @@ def _count_and_filter(kmers, read_ids, positions, is_rc, lower: int, upper: int)
 @partial(jax.jit, static_argnames=("size",))
 def _gather_reliable(dense_id, sr, sp, sc, reliable, size: int):
     """Device-side compaction of reliable occurrences: the host link may
-    be a network relay, so transfer O(nnz), not O(total occurrences)."""
-    idx = jnp.nonzero(reliable, size=size, fill_value=reliable.shape[0] - 1)[0]
-    return dense_id[idx], sr[idx], sp[idx], sc[idx]
+    be a network relay, so transfer O(nnz), not O(total occurrences).
+
+    Single-u32-key sort (dead bit | row index) + small-output takes:
+    nonzero and big gathers are the slow path on this toolchain (see
+    utils/segments.py rationale); gather cost scales with the OUTPUT
+    size, so taking `size` rows is cheap."""
+    n = reliable.shape[0]
+    key = (
+        ((~reliable).astype(jnp.uint32) << jnp.uint32(31))
+        | jax.lax.iota(jnp.uint32, n)
+    )
+    skey = jax.lax.sort(key)
+    idx = (skey[:size] & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+    return (
+        jnp.take(dense_id, idx), jnp.take(sr, idx),
+        jnp.take(sp, idx), jnp.take(sc, idx),
+    )
 
 
 def count_kmers(
