@@ -47,9 +47,11 @@ class BellaConfig:
                                    # (wider than band_width: no adaptive recentering)
     align_batch: int = 4096        # alignment pairs per device batch
                                    # (ref: 30000/GPU, include/align.hpp:35)
-    max_shared_kmers: int = 256    # cap on shared k-mers folded per read pair
-                                   # (ref is unbounded vectors; overflow is counted)
     max_steps: Optional[int] = None  # wavefront step cap; None = len-derived
+                                   # (2 * padded read length, xdrop.py)
+    devices: int = 0               # --devices  mesh size for distributed
+                                   # detection + data-parallel alignment
+                                   # (0/1 = single-device pipeline)
     seed: int = 0                  # PRNG seed for synthetic generators
     write_matrix: Optional[str] = None  # dump reads x kmers matrix (bellaio)
     checkpoint: Optional[str] = None    # save/resume reliable triples (npz)

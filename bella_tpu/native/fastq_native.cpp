@@ -167,6 +167,9 @@ int64_t write_m4(const char* path, int append, int64_t nrows,
             score[i], (long long)ov[i], strand_rc[i] ? 'c' : 'n', beg_v[i],
             end_v[i], (long long)lens[v], beg_h[i], end_h[i],
             (long long)lens[h]);
+        // snprintf returns the would-be length on truncation: clamp so
+        // fwrite never reads past the buffer (long read names)
+        if (m > (int)sizeof(line) - 1) m = (int)sizeof(line) - 1;
         fwrite(line, 1, m, f);
         total += m;
     }
@@ -207,6 +210,9 @@ int64_t write_paf(const char* path, int append, int64_t nrows,
             name_buf + name_offs[v], (long long)lens[v], beg_v[i], end_v[i],
             strand, name_buf + name_offs[h], lh, bh, eh, score[i],
             (long long)ov[i]);
+        // snprintf returns the would-be length on truncation: clamp so
+        // fwrite never reads past the buffer (long read names)
+        if (m > (int)sizeof(line) - 1) m = (int)sizeof(line) - 1;
         fwrite(line, 1, m, f);
         total += m;
     }
@@ -230,6 +236,9 @@ int64_t write_overlap(const char* path, int append, int64_t nrows,
                          name_buf + name_offs[v], name_buf + name_offs[h],
                          count[i], ov[i], (long long)lens[v],
                          (long long)lens[h]);
+        // snprintf returns the would-be length on truncation: clamp so
+        // fwrite never reads past the buffer (long read names)
+        if (m > (int)sizeof(line) - 1) m = (int)sizeof(line) - 1;
         fwrite(line, 1, m, f);
         total += m;
     }

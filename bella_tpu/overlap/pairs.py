@@ -340,8 +340,9 @@ def _extract_kmers(
         - offsets[:-1].astype(jnp.int32)[rid]
     )
     if use_hopc:
-        canon, _len = hopc_kmers(codes, k)
-        is_rc = jnp.zeros_like(valid)
+        # true strand of the compressed window rides along (compression
+        # commutes with revcomp, see seq/encode.py hopc_kmers)
+        canon, _len, is_rc = hopc_kmers(codes, k)
     else:
         packed = pack_kmers(codes, k)
         canon, is_rc = canonical_kmers(packed, k)
@@ -483,8 +484,11 @@ def _accum_append(
     src_start, n_valid, dst_start, cap: int,
 ):
     """Append up to `cap` rows from src[src_start:] into the (donated)
-    accumulators at dst_start; rows beyond n_valid become sentinels
-    (overwritten by the next append or filtered as unreliable)."""
+    accumulators at dst_start. Read-modify-write: rows beyond n_valid
+    keep the accumulator's existing content, so the fixed-width window
+    never clobbers a neighbouring pass's region even when the caller's
+    region has less than `cap` rows of room left. Accumulators carry
+    `cap` rows of tail slack so the write never clamps its start."""
     u32 = jnp.uint32
     sent = jnp.full((cap,), 0xFFFFFFFF, u32)
     # pad so dynamic_slice never clamps the start (which would silently
@@ -495,16 +499,19 @@ def _accum_append(
     sc = jnp.concatenate([sc, jnp.zeros((cap,), sc.dtype)])
     keep = jax.lax.iota(jnp.int32, cap) < n_valid
     s = (src_start,)
-    wkhi = jnp.where(keep, jax.lax.dynamic_slice(khi, s, (cap,)), sent)
-    wklo = jnp.where(keep, jax.lax.dynamic_slice(klo, s, (cap,)), sent)
-    wrp = jax.lax.dynamic_slice(ridpos, s, (cap,))
-    wsc = jax.lax.dynamic_slice(sc, s, (cap,))
     d = (dst_start,)
+
+    def rmw(acc, src, fill_keep):
+        w = jnp.where(keep, jax.lax.dynamic_slice(src, s, (cap,)), fill_keep)
+        old = jax.lax.dynamic_slice(acc, d, (cap,))
+        w = jnp.where(keep, w, old)
+        return jax.lax.dynamic_update_slice(acc, w, d)
+
     return (
-        jax.lax.dynamic_update_slice(akhi, wkhi, d),
-        jax.lax.dynamic_update_slice(aklo, wklo, d),
-        jax.lax.dynamic_update_slice(aridpos, wrp, d),
-        jax.lax.dynamic_update_slice(asc, wsc, d),
+        rmw(akhi, khi, sent),
+        rmw(aklo, klo, sent),
+        rmw(aridpos, ridpos, jnp.zeros((cap,), u32)),
+        rmw(asc, sc, jnp.zeros((cap,), sc.dtype)),
     )
 
 
@@ -513,26 +520,28 @@ def _accum_append_rel(
     asr, asp, asc, arank, sr, sp, sc, rank, n_valid, dst_start, cap: int,
 ):
     """Append the first n_valid of up to `cap` compacted reliable rows
-    (already valid-first) into the (donated) reliable accumulators."""
+    (already valid-first) into the (donated) reliable accumulators.
+    Read-modify-write beyond n_valid, so the fixed-width window never
+    overwrites rows appended by earlier passes; accumulators carry `cap`
+    rows of tail slack so the write never clamps its start."""
     keep = jax.lax.iota(jnp.int32, cap) < n_valid
-    pad = jnp.zeros((cap,), jnp.int32)
 
-    def fit(a, fill):
+    def fit(a):
         a = a.astype(jnp.int32)
         n = a.shape[0]
         if n < cap:
-            a = jnp.concatenate([a, jnp.full((cap - n,), fill, jnp.int32)])
+            a = jnp.concatenate([a, jnp.zeros((cap - n,), jnp.int32)])
         return a[:cap]
 
     d = (dst_start,)
-    return (
-        jax.lax.dynamic_update_slice(asr, jnp.where(keep, fit(sr, 0), pad), d),
-        jax.lax.dynamic_update_slice(asp, jnp.where(keep, fit(sp, 0), pad), d),
-        jax.lax.dynamic_update_slice(asc, jnp.where(keep, fit(sc, 0), pad), d),
-        jax.lax.dynamic_update_slice(
-            arank, jnp.where(keep, fit(rank, 0), pad), d
-        ),
-    )
+
+    def rmw(acc, src):
+        old = jax.lax.dynamic_slice(acc, d, (cap,))
+        return jax.lax.dynamic_update_slice(
+            acc, jnp.where(keep, fit(src), old), d
+        )
+
+    return (rmw(asr, sr), rmw(asp, sp), rmw(asc, sc), rmw(arank, rank))
 
 
 @partial(jax.jit, static_argnames=("pack_ridpos",))
@@ -895,10 +904,12 @@ def _detect_overlaps_split(reads, config: BellaConfig, budget: float):
     rel_cap = _size_bucket(max(total // 3, 1 << 16))
 
     sent = np.uint32(0xFFFFFFFF)
-    akhi = jnp.full((splits * region_cap,), sent, u32)
-    aklo = jnp.full((splits * region_cap,), sent, u32)
-    aridpos = jnp.zeros((splits * region_cap,), u32)
-    asc = jnp.zeros((splits * region_cap,), bool)
+    # + cap_cp tail slack: _accum_append's fixed-width window may extend
+    # past the last region without clamping (clamping would shift it)
+    akhi = jnp.full((splits * region_cap + cap_cp,), sent, u32)
+    aklo = jnp.full((splits * region_cap + cap_cp,), sent, u32)
+    aridpos = jnp.zeros((splits * region_cap + cap_cp,), u32)
+    asc = jnp.zeros((splits * region_cap + cap_cp,), bool)
 
     overflow = 0
     off = [0] * splits
@@ -953,10 +964,12 @@ def _detect_overlaps_split(reads, config: BellaConfig, budget: float):
         log("splitRoutingOverflowDropped", overflow)
 
     # per-pass count + reliable compaction into the reliable accumulator
-    asr = jnp.zeros((rel_cap,), jnp.int32)
-    asp = jnp.zeros((rel_cap,), jnp.int32)
-    ascr = jnp.zeros((rel_cap,), jnp.int32)
-    arank = jnp.zeros((rel_cap,), jnp.int32)
+    # (+ region_cap tail slack: appends are at most region_cap wide and
+    # must never clamp their start, see _accum_append_rel)
+    asr = jnp.zeros((rel_cap + region_cap,), jnp.int32)
+    asp = jnp.zeros((rel_cap + region_cap,), jnp.int32)
+    ascr = jnp.zeros((rel_cap + region_cap,), jnp.int32)
+    arank = jnp.zeros((rel_cap + region_cap,), jnp.int32)
     rel_off = 0
     num_kmers = 0
     nnz_total = 0
@@ -1037,6 +1050,7 @@ def detect_overlaps(reads, config: BellaConfig):
         max_len = int(reads.lengths.max()) if reads.num_reads else 0
         if (
             reads.num_reads <= 0xFFFF and max_len <= 0xFFFF
+            and config.upper_freq <= 255
             and config.bin_size >= 3 and not config.use_hopc
             and k <= 28 and len(reads.codes) * 30 <= budget
         ):
@@ -1074,8 +1088,12 @@ def detect_overlaps(reads, config: BellaConfig):
     # packed 3-operand sort path when ids/positions fit 16 bits (the
     # reference caps positions at 16 bits too, src/main.cpp:193)
     max_len = int(reads.lengths.max()) if reads.num_reads else 0
+    # upper_freq <= 255: _compact_reliable packs the within-segment rank
+    # into 8 bits, so wider bounds (legal via --auto-bounds at high
+    # coverage) must take the unpacked path
     packed = (
-        reads.num_reads <= 0xFFFF and max_len <= 0xFFFF and config.bin_size >= 3
+        reads.num_reads <= 0xFFFF and max_len <= 0xFFFF
+        and config.bin_size >= 3 and config.upper_freq <= 255
     )
     live, sr, sp, sc, rank, nnz, num_kmers = _fused_count(
         jnp.asarray(codes_packed),
@@ -1156,6 +1174,7 @@ def generate_candidates(
     max_len = int(np.asarray(read_lengths).max()) if n_reads else 0
     packed = (
         n_reads <= 0xFFFF and max_len <= 0xFFFF and config.bin_size >= 3
+        and config.upper_freq <= 255
         and triples.nnz * 100 <= config.effective_memory_mb * 1e6
     )
     if packed:

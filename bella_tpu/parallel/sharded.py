@@ -244,6 +244,7 @@ def sharded_candidates(
     max_len = int(np.asarray(read_lengths).max()) if len(read_lengths) else 0
     packed = (
         len(read_lengths) <= 0xFFFF and max_len <= 0xFFFF and bin_size >= 3
+        and upper <= 255
     )
     if packed:
         return _sharded_candidates_packed(
