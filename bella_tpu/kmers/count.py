@@ -75,8 +75,9 @@ def extract_occurrences(reads: ReadSet, config: BellaConfig) -> KmerOccurrences:
     )[rid]
 
     if config.use_hopc:
-        canon, _hopc_len = hopc_kmers(codes, k)
-        is_rc = jnp.zeros((n,), bool)  # strand handled by seed compare downstream
+        # is_rc carries the true strand of the compressed window
+        # (compression commutes with revcomp, see hopc_kmers)
+        canon, _hopc_len, is_rc = hopc_kmers(codes, k)
     else:
         packed = pack_kmers(codes, k)
         canon, is_rc = canonical_kmers(packed, k)

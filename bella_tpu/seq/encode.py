@@ -122,14 +122,21 @@ def hopc_kmers(codes, k: int):
     canonical rep at length L (reference hopc(), kmercode/Kmer.cpp:465-474
     + toHOPC, kmercode/Kmer.hpp:169-182).
 
-    Returns (packed (N-k+1,) uint64, lengths (N-k+1,) int32).
+    Returns (packed, lengths, is_rc), each (N-k+1,). is_rc marks windows
+    whose compressed twin was the smaller: compression commutes with
+    reverse complement (run structure is strand-symmetric), so two
+    occurrences of one canonical HOPC k-mer lie on opposite strands
+    exactly when their is_rc flags differ — the strand decision the
+    reference makes at align time by comparing raw seed substrings
+    (include/align.hpp:168-174), made exact in HOPC space.
     """
     import jax
 
     c = jnp.asarray(codes, dtype=_U64)
     n_out = int(c.shape[0]) - k + 1
     if n_out <= 0:
-        return jnp.zeros((0,), dtype=_U64), jnp.zeros((0,), dtype=jnp.int32)
+        z = jnp.zeros((0,), dtype=_U64)
+        return z, jnp.zeros((0,), dtype=jnp.int32), jnp.zeros((0,), bool)
 
     # fori_loop for buffer reuse (see pack_kmers)
     def body(t, carry):
@@ -157,7 +164,8 @@ def hopc_kmers(codes, k: int):
         (_U64(1) << (_U64(2) * length.astype(_U64))) - _U64(1),
     )
     tw = tw & mask
-    return jnp.minimum(val, tw), length
+    is_rc = tw < val
+    return jnp.minimum(val, tw), length, is_rc
 
 
 def hash64(x):

@@ -39,6 +39,22 @@ def test_reversecomp_sanity(tmp_path):
     assert int(v[3]) >= 950  # near-perfect score
 
 
+def test_reversecomp_hopc(tmp_path):
+    """The RC sanity fixture through --hopc: the reverse-strand overlap
+    must be found on the 'c' strand (round-1 zeroed is_rc in HOPC mode,
+    so this produced a garbage forward alignment)."""
+    out = tmp_path / "rchopc"
+    r = run_cli(["-f", FIXTURE, "-o", str(out), "-k", "17", "-l", "2",
+                 "-u", "4", "--hopc"])
+    assert r.returncode == 0, r.stderr
+    rows = open(str(out) + ".out").read().splitlines()
+    assert len(rows) == 1, rows
+    v = rows[0].split("\t")
+    assert v[0] == "fwd_read" and v[1] == "rc_read"
+    assert v[5] == "c"
+    assert int(v[3]) >= 950  # near-perfect score on the RC pair
+
+
 def test_skip_alignment_cli(tmp_path):
     out = tmp_path / "rc2"
     r = run_cli(

@@ -102,10 +102,11 @@ def test_hopc_matches_oracle(k):
     # include homopolymer runs
     s = "AAACCCGGGTTTACGTACGT" + random_seq(40, seed=77)
     codes = encode_bases_np(np.frombuffer(s.encode(), np.uint8))
-    vals, lens = hopc_kmers(codes, k)
-    vals, lens = np.asarray(vals), np.asarray(lens)
+    vals, lens, is_rc = hopc_kmers(codes, k)
+    vals, lens, is_rc = np.asarray(vals), np.asarray(lens), np.asarray(is_rc)
     for p in range(0, len(vals), 7):
         compressed = py_hopc(s[p : p + k])
         expect = min(compressed, py_revcomp(compressed))
         assert lens[p] == len(compressed)
         assert kmer_to_string(int(vals[p]), int(lens[p])) == expect
+        assert is_rc[p] == (py_revcomp(compressed) < compressed)

@@ -65,6 +65,29 @@ def test_full_pipeline_paf(sim, tmp_path):
     assert m.precision > 85.0, m
 
 
+def test_hopc_recall_matches_plain(sim, tmp_path):
+    """HOPC mode must find reverse-strand overlaps too: strand rides on
+    the canonical compressed k-mer (hopc_kmers is_rc), fixing the round-1
+    bug where every HOPC pair extended on the forward strand."""
+    reads, G = sim
+    out = tmp_path / "hopc.out"
+    # hopc_error_rate matches the simulator's UNIFORM 15% errors: the
+    # default 0.035 assumes homopolymer-dominated noise (real nanopore)
+    # and would set the Chernoff threshold above every raw-space score
+    res = run_pipeline(
+        reads, BellaConfig(use_hopc=True, hopc_error_rate=0.15), str(out)
+    )
+    S = parse_bella(str(out), MIN_OV)
+    m = evaluate_sets(S, G, duplicate=True)
+    print(m)
+    # parity with the plain-kmer gate of test_full_pipeline_m4
+    assert m.recall > 80.0, m
+    assert m.precision > 85.0, m
+    # both strands must be represented in the output
+    strands = {r.split("\t")[5] for r in open(out).read().splitlines()}
+    assert strands == {"n", "c"}, strands
+
+
 def test_estimate_error_rate(sim, tmp_path):
     reads, _ = sim
     # simulator writes constant-quality fastq; estimate path just needs
