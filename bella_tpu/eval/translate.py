@@ -54,6 +54,32 @@ def blasr_to_paf(lines: Iterable[str]) -> Iterable[str]:
         )
 
 
+def _estimate_overlap(bv: int, ev: int, lv: int, bh: int, eh: int, lh: int) -> int:
+    """Overlap-length estimate when the tool reports none
+    (benchmark/lostintranslation.h:53-62)."""
+    return min(bv, bh) + min(lv - ev, lh - eh) + ((ev - bv) + (eh - bh)) // 2
+
+
+def daligner_to_paf(lines: Iterable[str], error_rate: float = 0.15) -> Iterable[str]:
+    """DALIGNER (BELLA-translated): cname rname rev cstart cend clen
+    rstart rend rlen; score estimated as (1-e)^2 * ovlen
+    (benchmark/lostintranslation.h:565-622)."""
+    identity = (1.0 - error_rate) * (1.0 - error_rate)
+    for line in lines:
+        v = line.split()
+        if len(v) < 9:
+            continue
+        strand = "+" if v[2] == "n" else "-"
+        bv, ev, lv = int(v[3]), int(v[4]), int(v[5])
+        bh, eh, lh = int(v[6]), int(v[7]), int(v[8])
+        ovlen = _estimate_overlap(bv, ev, lv, bh, eh, lh)
+        score = int(identity * ovlen)
+        yield (
+            f"{v[0]}\t{lv}\t{bv}\t{ev}\t{strand}\t"
+            f"{v[1]}\t{lh}\t{bh}\t{eh}\t{score}\t{ovlen}\t255\n"
+        )
+
+
 def mecat_to_paf(lines: Iterable[str], names: Dict[str, str]) -> Iterable[str]:
     """MECAT M4 with numeric ids resolved via idx2read names."""
     for line in lines:
@@ -73,10 +99,13 @@ def main(argv=None):
     ap = argparse.ArgumentParser(
         prog="bella-translate", description="convert overlapper outputs to PAF"
     )
-    ap.add_argument("--format", choices=["bella", "mhap", "blasr", "mecat"], required=True)
+    ap.add_argument("--format", choices=["bella", "mhap", "blasr", "mecat", "daligner"],
+                    required=True)
     ap.add_argument("input")
     ap.add_argument("output")
     ap.add_argument("--mecat-idx")
+    ap.add_argument("--error", type=float, default=0.15,
+                    help="error rate for the DALIGNER score estimate")
     args = ap.parse_args(argv)
     with open(args.input) as f:
         lines = f.readlines()
@@ -86,6 +115,8 @@ def main(argv=None):
         rows = mhap_to_paf(lines)
     elif args.format == "blasr":
         rows = blasr_to_paf(lines)
+    elif args.format == "daligner":
+        rows = daligner_to_paf(lines, args.error)
     else:
         names: Dict[str, str] = {}
         if args.mecat_idx:
