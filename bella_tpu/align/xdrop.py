@@ -302,10 +302,10 @@ def _combine_extensions(ext, left, right):
     ])
 
 
-@partial(jax.jit, static_argnames=("band", "kmer_size"))
+@partial(jax.jit, static_argnames=("band", "kmer_size", "max_steps"))
 def _seed_extend_batch(
     reads_dev, lens_dev, bh, bv, ph_raw, pv, rc, valid, xdrop,
-    kmer_size: int, band: int,
+    kmer_size: int, band: int, max_steps: int = 0,
 ):
     """Both-direction extension of one seed per pair, fused with the
     sequence gathers and strand correction (one dispatch per batch)."""
@@ -313,21 +313,24 @@ def _seed_extend_batch(
         reads_dev, lens_dev, bh, bv, ph_raw, pv, rc, kmer_size, valid
     )
     L = ext["L"]
+    steps = max_steps if max_steps > 0 else 2 * L
     left = extend_batch(
         ext["lt"], ext["lt_len"], ext["lq"], ext["lq_len"], xdrop,
-        band=band, max_steps=2 * L,
+        band=band, max_steps=steps,
     )
     right = extend_batch(
         ext["rt"], ext["rt_len"], ext["rq"], ext["rq_len"], xdrop,
-        band=band, max_steps=2 * L,
+        band=band, max_steps=steps,
     )
     return _combine_extensions(ext, left, right)
 
 
-@partial(jax.jit, static_argnames=("xdrop", "kmer_size", "band", "interpret"))
+@partial(jax.jit, static_argnames=(
+    "xdrop", "kmer_size", "band", "interpret", "max_steps"))
 def _seed_extend_batch_pallas(
     reads_dev, lens_dev, bh, bv, ph_raw, pv, rc, valid,
     xdrop: int, kmer_size: int, band: int, interpret: bool,
+    max_steps: int = 0,
 ):
     """Pallas-backed variant: left and right extensions of the whole
     batch are fused into ONE kernel dispatch (2B grid blocks)."""
@@ -349,7 +352,8 @@ def _seed_extend_batch_pallas(
     inv = jnp.argsort(order)
     out = extend_batch_pallas(
         T2[order], tl2[order], Q2[order], ql2[order], xdrop,
-        band=band, max_steps=2 * L, interpret=interpret,
+        band=band, max_steps=max_steps if max_steps > 0 else 2 * L,
+        interpret=interpret,
     )
     out = {k2: v[inv] for k2, v in out.items()}
     left = {k2: v[:B] for k2, v in out.items()}
@@ -363,6 +367,7 @@ def align_candidates(
     pairs,
     config,
     batch_size: int = 0,
+    mesh=None,
 ) -> AlignmentResult:
     """Align all candidate pairs (host driver, batches on device).
 
@@ -371,6 +376,11 @@ def align_candidates(
     xavierAlign (include/align.hpp:152-202): if the seed's forward
     strings disagree (seed_rc), the H read is reverse-complemented and
     the seed H coordinate flipped before extension.
+
+    mesh: optional jax.sharding.Mesh — batches run data-parallel over
+    the mesh's one axis (reads replicated, pair rows sharded), the
+    TPU-native form of the reference's multi-GPU batch split
+    (loganGPU/functions.cuh:441-443).
     """
     P = pairs.num_pairs
     if P == 0:
@@ -378,16 +388,31 @@ def align_candidates(
         return AlignmentResult(z, z, z, z, z, np.zeros(0, bool))
     if batch_size <= 0:
         batch_size = config.align_batch
+    ndev = int(mesh.devices.size) if mesh is not None else 1
     # bucket to the next power of two >= P (capped) so small runs don't
     # pad to the full batch while big runs reuse one compiled shape
-    bucket = 64
+    bucket = max(64, ndev)
     while bucket < min(P, batch_size):
         bucket *= 2
-    batch_size = min(batch_size, bucket)
+    batch_size = min(max(batch_size, ndev), bucket)
     R, Lmax = reads_padded.shape
     k = config.kmer_size
-    reads_dev = jnp.asarray(reads_padded)
-    lens_dev = jnp.asarray(read_lengths.astype(np.int32))
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        _repl = NamedSharding(mesh, PartitionSpec())
+        _shard = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+        reads_dev = jax.device_put(reads_padded, _repl)
+        lens_dev = jax.device_put(read_lengths.astype(np.int32), _repl)
+
+        def _put(a):
+            return jax.device_put(a, _shard)
+    else:
+        reads_dev = jnp.asarray(reads_padded)
+        lens_dev = jnp.asarray(read_lengths.astype(np.int32))
+
+        def _put(a):
+            return jnp.asarray(a)
 
     score = np.zeros(P, np.int32)
     beg_h = np.zeros(P, np.int32)
@@ -410,6 +435,9 @@ def align_candidates(
 
         interpret = use_pallas and _jax.default_backend() != "tpu"
     pallas_band = int(getattr(config, "pallas_band", 256))
+    # wavefront step cap: config.max_steps when set, else length-derived
+    # (2*Lmax inside the jit)
+    max_steps = int(getattr(config, "max_steps", None) or 0)
 
     # order by estimated overlap so device blocks are homogeneous in the
     # number of wavefront steps they run (a lockstep block lives until
@@ -440,21 +468,22 @@ def align_candidates(
         valid[:sel_valid] = True
         args = (
             reads_dev, lens_dev,
-            jnp.asarray(pairs.read_h[sel]),
-            jnp.asarray(pairs.read_v[sel]),
-            jnp.asarray(pairs.pos_h[sel].astype(np.int32)),
-            jnp.asarray(pairs.pos_v[sel].astype(np.int32)),
-            jnp.asarray(pairs.seed_rc[sel]),
-            jnp.asarray(valid),
+            _put(pairs.read_h[sel]),
+            _put(pairs.read_v[sel]),
+            _put(pairs.pos_h[sel].astype(np.int32)),
+            _put(pairs.pos_v[sel].astype(np.int32)),
+            _put(pairs.seed_rc[sel]),
+            _put(valid),
         )
         if use_pallas:
             out = _seed_extend_batch_pallas(
                 *args, xdrop=int(config.xdrop), kmer_size=k,
-                band=pallas_band, interpret=interpret,
+                band=pallas_band, interpret=interpret, max_steps=max_steps,
             )
         else:
             out = _seed_extend_batch(
-                *args, int(config.xdrop), k, config.band_width
+                *args, int(config.xdrop), k, config.band_width,
+                max_steps=max_steps,
             )
         pending.append((sel, sel_valid, out))
 

@@ -9,6 +9,12 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 The reference publishes no in-repo numbers (BASELINE.json.published is
 empty); vs_baseline is measured against a stored previous-round value in
 BENCH_BASELINE.json when present, else 1.0.
+
+BELLA_BENCH_ALIGN=1 additionally times the full align+decide phase over
+the detected pairs (the reference's alignment-rate counter,
+include/overlap.hpp:757-767) and emits a second JSON line with metric
+"alignment_bases_per_s" (also written to BENCH_ALIGN.json so the
+with-alignment number is tracked round to round).
 """
 
 import json
@@ -80,6 +86,51 @@ def main():
             }
         )
     )
+
+    if os.environ.get("BELLA_BENCH_ALIGN"):
+        from bella_tpu.align.xdrop import align_candidates, pad_reads
+        from bella_tpu.overlap.decision import post_align_decision
+
+        padded, lens = pad_reads(reads)
+
+        def run_align():
+            aln = align_candidates(padded, lens, pairs, cfg)
+            dec = post_align_decision(
+                aln, pairs.read_h, pairs.read_v, reads.lengths, cfg
+            )
+            return aln, dec
+
+        t0 = time.time()
+        aln, dec = run_align()  # warmup/compile
+        warm_a = time.time() - t0
+        t0 = time.time()
+        aln, dec = run_align()
+        dt_a = time.time() - t0
+        aligned_bases = int(
+            (aln.end_h - aln.beg_h).sum() + (aln.end_v - aln.beg_v).sum()
+        )
+        rate = aligned_bases / dt_a
+        print(
+            f"align bench: warm={warm_a:.2f}s run={dt_a:.2f}s "
+            f"pairs={pairs.num_pairs} aligned_bases={aligned_bases} "
+            f"passed={int(dec['passed'].sum())}",
+            file=sys.stderr,
+        )
+        base_a = None
+        if os.path.exists("BENCH_ALIGN.json"):
+            try:
+                base_a = json.load(open("BENCH_ALIGN.json")).get("value")
+            except Exception:
+                base_a = None
+        row = {
+            "metric": "alignment_bases_per_s",
+            "value": round(rate, 1),
+            "unit": "bases/s",
+            "vs_baseline": round(rate / base_a, 3) if base_a else 1.0,
+        }
+        print(json.dumps(row))
+        with open("BENCH_ALIGN.json", "w") as f:
+            json.dump(row, f)
 
 
 if __name__ == "__main__":
