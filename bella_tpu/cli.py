@@ -31,6 +31,8 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--paf", action="store_true", help="output in PAF format")
     ap.add_argument("-g", "--gpus", type=int, default=1,
                     help="accepted for flag parity; device count comes from jax")
+    ap.add_argument("--devices", type=int, default=0,
+                    help="run distributed over N mesh devices (0 = single)")
     ap.add_argument("--split-count", type=int, default=1, help="k-mer counting split count")
     ap.add_argument("--hopc", action="store_true", help="use HOPC representation")
     ap.add_argument("-w", "--window", type=int, default=0, help="minimizer window size")
@@ -79,7 +81,14 @@ def main(argv=None) -> int:
         write_matrix=args.write_matrix,
         checkpoint=args.checkpoint,
         profile_dir=args.profile,
+        devices=args.devices,
     )
+    if config.devices > 1:
+        # multi-host runtimes need the distributed client before any
+        # device work (no-op when coordinator env vars are absent)
+        from bella_tpu.parallel.dist import init_distributed
+
+        init_distributed()
     if args.auto_bounds:
         if not args.coverage:
             print("--auto-bounds requires --coverage", file=sys.stderr)

@@ -46,6 +46,20 @@ def run_pipeline(
 
         jax.profiler.start_trace(config.profile_dir)
 
+    mesh = None
+    if config.devices > 1:
+        import jax
+
+        from bella_tpu.parallel.sharded import make_mesh
+
+        if len(jax.devices()) < config.devices:
+            raise RuntimeError(
+                f"--devices {config.devices} but only {len(jax.devices())} "
+                "jax devices are visible"
+            )
+        mesh = make_mesh(config.devices)
+        log("meshDevices", config.devices)
+
     # fused device path for the common configuration; the modular path
     # handles sparse selection, split-count staging, memory-staged
     # emission, matrix dump, and checkpoint/resume. The fused path
@@ -65,7 +79,16 @@ def run_pipeline(
         from bella_tpu.overlap.pairs import detect_overlaps
 
         with phase("overlapDetection"):
-            pairs, num_kmers, nnz = detect_overlaps(reads, config)
+            if mesh is not None:
+                # distributed counting + SpGEMM + chaining over the mesh
+                # (k-mer and pair all_to_all exchanges, parallel/dist.py)
+                from bella_tpu.parallel.dist import detect_overlaps_sharded
+
+                pairs, num_kmers, nnz = detect_overlaps_sharded(
+                    reads, config, mesh
+                )
+            else:
+                pairs, num_kmers, nnz = detect_overlaps(reads, config)
         log("numReliableKmers", num_kmers)
         log("nnzA", nnz)
         log("candidatePairs", pairs.num_pairs)
@@ -116,7 +139,14 @@ def run_pipeline(
                 f"[{config.lower_freq}, {config.upper_freq}]; reduce k or bounds"
             )
         with phase("overlapDetection"):
-            pairs = generate_candidates(tri, reads.lengths, config)
+            if mesh is not None:
+                # selection paths build triples first; pair expansion +
+                # chaining still distribute over the mesh
+                from bella_tpu.parallel.sharded import sharded_candidates
+
+                pairs = sharded_candidates(tri, reads.lengths, config, mesh)
+            else:
+                pairs = generate_candidates(tri, reads.lengths, config)
         log("candidatePairs", pairs.num_pairs)
         tri_num_kmers, tri_nnz = tri.num_kmers, tri.nnz
 
@@ -136,7 +166,7 @@ def run_pipeline(
         t_aln = _time.perf_counter()
         with phase("alignment"):
             padded, lens = pad_reads(reads)
-            aln = align_candidates(padded, lens, pairs, config)
+            aln = align_candidates(padded, lens, pairs, config, mesh=mesh)
         dt_aln = _time.perf_counter() - t_aln
         if pairs.num_pairs and dt_aln > 0:
             # reference logs the alignment rate in bases/s (overlap.hpp:757-767)

@@ -1,0 +1,109 @@
+"""Distributed detection from RAW reads (parallel/dist.py) must match
+the single-chip fused path exactly, survive adversarial skew without
+dropping work, and drive the full pipeline via config.devices."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from bella_tpu import BellaConfig
+from bella_tpu.io.fastq import ReadSet
+from bella_tpu.io.simulate import random_genome, sample_reads
+from bella_tpu.overlap.pairs import detect_overlaps
+from bella_tpu.parallel.dist import detect_overlaps_sharded
+from bella_tpu.parallel.sharded import make_mesh
+
+
+@pytest.fixture(scope="module")
+def data():
+    g = random_genome(10000, seed=3)
+    reads, _ = sample_reads(
+        g, 40, mean_len=1500, min_len=600, error_rate=0.1, seed=4,
+        circular=False,
+    )
+    cfg = BellaConfig()
+    single, nk, nnz = detect_overlaps(reads, cfg)
+    return reads, cfg, single, nk, nnz
+
+
+def _as_map(p):
+    return {
+        (int(p.read_h[i]), int(p.read_v[i])): (
+            int(p.count[i]), int(p.matches[i]), int(p.overlap_est[i]),
+            int(p.pos_h[i]), int(p.pos_v[i]), bool(p.seed_rc[i]),
+        )
+        for i in range(p.num_pairs)
+    }
+
+
+@pytest.mark.parametrize("ndev", [2, 8])
+def test_dist_matches_single_chip(data, ndev):
+    reads, cfg, single, nk, nnz = data
+    assert len(jax.devices()) >= ndev
+    multi, nk2, nnz2 = detect_overlaps_sharded(reads, cfg, make_mesh(ndev))
+    assert (nk, nnz) == (nk2, nnz2)
+    assert _as_map(single) == _as_map(multi)
+
+
+def test_dist_overflow_retry(data):
+    """A starved initial capacity must trigger the doubling retry and
+    still produce EXACT parity (never drop, VERDICT: reference stages
+    instead of dropping, include/overlap.hpp:682-786)."""
+    reads, cfg, single, nk, nnz = data
+    multi, nk2, nnz2 = detect_overlaps_sharded(
+        reads, cfg, make_mesh(8), cap_occ=256
+    )
+    assert (nk, nnz) == (nk2, nnz2)
+    assert _as_map(single) == _as_map(multi)
+
+
+def test_dist_adversarial_skew():
+    """One shared 17-mer planted at upper_freq across reads that all
+    route to ONE shard: the hot-bucket exchange must keep exact parity
+    with single-chip (no silent recall loss)."""
+    rng = np.random.default_rng(9)
+    motif = rng.integers(0, 4, 17).astype(np.uint8)
+    seqs, names = [], []
+    for i in range(24):
+        s = rng.integers(0, 4, 600).astype(np.uint8)
+        # plant the motif + a shared 300-base block so pairs overlap
+        s[100:117] = motif
+        s[150:450] = rng.integers(0, 4, 300).astype(np.uint8) if i == 0 else seqs[0][150:450]
+        seqs.append(s)
+        names.append(f"r{i}")
+    reads = ReadSet.from_codes(seqs, names) if hasattr(ReadSet, "from_codes") else _from_codes(seqs, names)
+    cfg = BellaConfig(lower_freq=2, upper_freq=24)
+    single, nk, nnz = detect_overlaps(reads, cfg)
+    assert single.num_pairs > 0
+    multi, nk2, nnz2 = detect_overlaps_sharded(reads, cfg, make_mesh(8))
+    assert (nk, nnz) == (nk2, nnz2)
+    assert _as_map(single) == _as_map(multi)
+
+
+def _from_codes(seqs, names):
+    offsets = np.zeros(len(seqs) + 1, np.int64)
+    np.cumsum([len(s) for s in seqs], out=offsets[1:])
+    return ReadSet(names, np.concatenate(seqs), offsets)
+
+
+def test_pipeline_devices_matches_single(tmp_path):
+    """run_pipeline with config.devices=8 emits the same (order-
+    normalized) output rows as single-device, through alignment."""
+    from bella_tpu.pipeline import run_pipeline
+
+    g = random_genome(9000, seed=21)
+    reads, _ = sample_reads(
+        g, 30, mean_len=1200, min_len=500, error_rate=0.1, seed=22,
+        circular=False,
+    )
+    out1 = tmp_path / "single.out"
+    out8 = tmp_path / "mesh.out"
+    run_pipeline(reads, BellaConfig(aligner_backend="jax"), str(out1))
+    run_pipeline(
+        reads, BellaConfig(aligner_backend="jax", devices=8), str(out8)
+    )
+    rows1 = sorted(out1.read_text().splitlines())
+    rows8 = sorted(out8.read_text().splitlines())
+    assert rows1 == rows8
+    assert rows1, "no output rows"
