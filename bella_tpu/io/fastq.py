@@ -77,35 +77,29 @@ class ReadSet:
         )
 
 
-def parse_fastq(path: str, with_quals: bool = False) -> ReadSet:
-    """Parse a (non-gzip) FASTQ file into a ReadSet.
+def _parse_buffer(data: np.ndarray, final: bool):
+    """Vectorized parse of the COMPLETE records in a byte buffer.
 
-    Prefers the native C parser (bella_tpu/native, the fq_reader.c
-    replacement); falls back to the vectorized numpy path: one pass to
-    locate newlines, then slice the 4-line records. Quality statistics
-    are always accumulated.
-    """
-    from bella_tpu.native import parse_fastq_native
-
-    native = parse_fastq_native(path)
-    if native is not None:
-        names, codes, offsets, err_sum, err_bases = native
-        return ReadSet(names, codes, offsets, err_sum, err_bases)
-
-    with open(path, "rb") as f:
-        data = np.frombuffer(f.read(), dtype=np.uint8)
+    Returns (names, codes, offsets, err_sum, err_bases, consumed) with
+    `consumed` = bytes of whole records parsed; the remainder belongs to
+    an incomplete record and is carried into the next block (the
+    record-boundary resync of kmercode/fq_reader.c:200-312, made
+    trivial by only ever cutting between complete records). When
+    `final`, a trailing partial record is silently dropped, matching
+    the reference's behavior on truncated files."""
+    empty = ([], np.zeros(0, np.uint8), np.zeros(1, np.int64), 0.0, 0, 0)
     if data.size == 0:
-        return ReadSet([], np.zeros(0, np.uint8), np.zeros(1, np.int64))
+        return empty
     nl = np.flatnonzero(data == ord("\n"))
-    # tolerate missing trailing newline
-    if data[-1] != ord("\n"):
+    if final and (data.size and data[-1] != ord("\n")):
+        # tolerate a missing trailing newline on the last record
         nl = np.append(nl, data.size)
-    starts = np.concatenate([[0], nl[:-1] + 1])
-    ends = nl
     nlines = (len(nl) // 4) * 4
     if nlines == 0:
-        return ReadSet([], np.zeros(0, np.uint8), np.zeros(1, np.int64))
-    starts, ends = starts[:nlines], ends[:nlines]
+        return empty
+    starts = np.concatenate([[0], nl[:-1] + 1])[:nlines]
+    ends = nl[:nlines]
+    consumed = int(nl[nlines - 1]) + 1
 
     name_s, name_e = starts[0::4], ends[0::4]
     seq_s, seq_e = starts[1::4], ends[1::4]
@@ -128,8 +122,60 @@ def parse_fastq(path: str, with_quals: bool = False) -> ReadSet:
     qgather = _ragged_gather_index(qual_s, qlens, int(qlens.sum()))
     quals = data[qgather].astype(np.float64) - ASCII_QUAL_BASE
     err_sum = float(np.power(10.0, -quals / 10.0).sum())
-    rs = ReadSet(names, codes, offsets, err_sum, int(quals.size))
-    return rs
+    return names, codes, offsets, err_sum, int(quals.size), consumed
+
+
+def stream_fastq(path: str, block_bytes: int = 256 << 20):
+    """Yield ReadSet blocks of complete records, never holding more than
+    ~block_bytes of raw text (the ParallelFASTQ::fill_block memory
+    budget, kmercode/ParallelFASTQ.h:58-89). Transparently decompresses
+    .gz inputs (the reference's gzip hooks are compiled out, NO_GZIP in
+    kmercode/common.h:16; here they work)."""
+    import gzip
+
+    opener = gzip.open if path.endswith(".gz") else open
+    rest = b""
+    with opener(path, "rb") as f:
+        while True:
+            # the floor keeps making progress when one record exceeds
+            # the budget (the buffer must grow until it holds a record)
+            chunk = f.read(max(block_bytes - len(rest), block_bytes // 4, 4096))
+            final = not chunk
+            data = rest + chunk
+            names, codes, offsets, err_sum, err_bases, consumed = \
+                _parse_buffer(np.frombuffer(data, np.uint8), final)
+            rest = b"" if final else data[consumed:]
+            if names:
+                yield ReadSet(names, codes, offsets, err_sum, err_bases)
+            if final:
+                return
+
+
+def parse_fastq(path: str, with_quals: bool = False,
+                block_bytes: int = 0) -> ReadSet:
+    """Parse a FASTQ (or FASTQ.gz) file into a ReadSet.
+
+    Prefers the native C parser (bella_tpu/native, the fq_reader.c
+    replacement) for plain files; gzip and budget-bounded ingest go
+    through the streaming vectorized numpy path (stream_fastq), whose
+    peak text residency is one block instead of the whole file."""
+    if block_bytes <= 0:
+        block_bytes = int(os.environ.get("BELLA_INGEST_BLOCK_MB", 256)) << 20
+    if not path.endswith(".gz"):
+        from bella_tpu.native import parse_fastq_native
+
+        if os.path.getsize(path) <= block_bytes:
+            native = parse_fastq_native(path)
+            if native is not None:
+                names, codes, offsets, err_sum, err_bases = native
+                return ReadSet(names, codes, offsets, err_sum, err_bases)
+
+    out: Optional[ReadSet] = None
+    for block in stream_fastq(path, block_bytes):
+        out = block if out is None else out.concat(block)
+    if out is None:
+        return ReadSet([], np.zeros(0, np.uint8), np.zeros(1, np.int64))
+    return out
 
 
 def _ragged_gather_index(starts: np.ndarray, lengths: np.ndarray, total: int) -> np.ndarray:
@@ -166,7 +212,7 @@ def parse_fofn(path: str) -> List[str]:
 
 def read_files(fofn_or_fastq: str) -> ReadSet:
     """Load all reads from a fofn (or a single .fastq/.fq path)."""
-    if fofn_or_fastq.endswith((".fastq", ".fq")):
+    if fofn_or_fastq.endswith((".fastq", ".fq", ".fastq.gz", ".fq.gz")):
         paths = [fofn_or_fastq]
     else:
         paths = parse_fofn(fofn_or_fastq)

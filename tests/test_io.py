@@ -65,3 +65,64 @@ def test_zero_error_reads_match_genome():
         fwd = np.array_equal(got, frag)
         rev = np.array_equal(got, comp[frag[::-1]])
         assert fwd or rev
+
+
+def test_gzip_ingest_matches_plain(tmp_path):
+    """.gz inputs parse identically to plain FASTQ (the reference's
+    gzip hooks are compiled out, kmercode/common.h:16 NO_GZIP)."""
+    import gzip
+
+    from bella_tpu.io.fastq import parse_fastq
+    from bella_tpu.io.simulate import random_genome, sample_reads, write_fastq
+
+    g = random_genome(5000, seed=91)
+    reads, _ = sample_reads(g, 20, mean_len=700, min_len=300,
+                            error_rate=0.1, seed=92, circular=False)
+    plain = tmp_path / "r.fastq"
+    write_fastq(str(plain), reads)
+    gz = tmp_path / "r.fastq.gz"
+    gz.write_bytes(gzip.compress(plain.read_bytes()))
+    a = parse_fastq(str(plain))
+    b = parse_fastq(str(gz))
+    assert a.names == b.names
+    assert (a.codes == b.codes).all() and (a.offsets == b.offsets).all()
+    assert abs(a.err_sum - b.err_sum) < 1e-9 and a.err_bases == b.err_bases
+
+
+def test_streaming_ingest_budget(tmp_path):
+    """A corpus larger than the enforced text budget ingests block-wise
+    and matches the unchunked parse (ParallelFASTQ::fill_block parity,
+    kmercode/ParallelFASTQ.h:58-89)."""
+    from bella_tpu.io.fastq import parse_fastq, stream_fastq
+    from bella_tpu.io.simulate import random_genome, sample_reads, write_fastq
+
+    g = random_genome(20000, seed=93)
+    reads, _ = sample_reads(g, 60, mean_len=1500, min_len=500,
+                            error_rate=0.1, seed=94, circular=False)
+    p = tmp_path / "big.fastq"
+    write_fastq(str(p), reads)
+    whole = parse_fastq(str(p))
+    # ~40 KB blocks on a ~200 KB file -> several blocks
+    budget = 40 << 10
+    blocks = list(stream_fastq(str(p), budget))
+    assert len(blocks) > 2
+    acc = blocks[0]
+    for b in blocks[1:]:
+        acc = acc.concat(b)
+    assert acc.names == whole.names
+    assert (acc.codes == whole.codes).all()
+    assert (acc.offsets == whole.offsets).all()
+    assert acc.err_bases == whole.err_bases
+    # budget-bounded parse through the public entry too
+    budgeted = parse_fastq(str(p), block_bytes=budget)
+    assert budgeted.names == whole.names and (budgeted.codes == whole.codes).all()
+
+
+def test_streaming_truncated_record(tmp_path):
+    """A trailing partial record is silently dropped (fq_reader parity)."""
+    from bella_tpu.io.fastq import parse_fastq
+
+    p = tmp_path / "t.fastq"
+    p.write_text("@r1\nACGT\n+\nIIII\n@r2\nACG")
+    rs = parse_fastq(str(p), block_bytes=1 << 20)
+    assert rs.names == ["r1"] and rs.num_reads == 1
