@@ -77,20 +77,25 @@ def truth_pairs(
         order = np.argsort(starts, kind="stable")
         names, starts, ends = names[order], starts[order], ends[order]
         n = len(rows)
-        for i in range(n):
-            # partners j>i in start order with starts[j] <= ends[i] - min_overlap
-            hi = np.searchsorted(starts, ends[i] - min_overlap, side="right")
-            if hi <= i + 1:
-                continue
-            js = np.arange(i + 1, hi)
-            ov = np.minimum(ends[i], ends[js]) - np.maximum(starts[i], starts[js])
-            js = js[ov >= min_overlap]
-            a = names[i]
-            for j in js:
-                b = names[j]
-                if a != b:
-                    G.add((a, b))
-                    G.add((b, a))
+        if n < 2:
+            continue
+        # fully vectorized sweep (the per-interval Python loop crawls at
+        # millions of truth rows): partners of i are the contiguous
+        # start-range (i, hi_i]; expand all ranges at once with repeat
+        his = np.searchsorted(starts, ends - min_overlap, side="right")
+        cnt = np.maximum(his - np.arange(n) - 1, 0)
+        total = int(cnt.sum())
+        if total == 0:
+            continue
+        ii = np.repeat(np.arange(n), cnt)
+        offs = np.zeros(n + 1, np.int64)
+        np.cumsum(cnt, out=offs[1:])
+        jj = np.arange(total, dtype=np.int64) - offs[ii] + ii + 1
+        ov = np.minimum(ends[ii], ends[jj]) - np.maximum(starts[ii], starts[jj])
+        keep = (ov >= min_overlap) & (names[ii] != names[jj])
+        a, b = names[ii[keep]], names[jj[keep]]
+        G.update(zip(a.tolist(), b.tolist()))
+        G.update(zip(b.tolist(), a.tolist()))
     return G
 
 
