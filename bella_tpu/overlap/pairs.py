@@ -227,6 +227,10 @@ _FIELDS = (
 # packed-dict variant (_chain_packed): h/v and count/matches ride as
 # single u32 columns until after the seed compaction
 _FIELDS_PACKED = ("hv", "cm", "pos_h", "pos_v", "overlap_est", "seed_rc")
+# wide-id packed variant (_chain_wide): read ids up to 2^31 ride as two
+# u32 columns, count/matches stay packed
+_FIELDS_WIDE = ("read_h", "read_v", "cm", "pos_h", "pos_v",
+                "overlap_est", "seed_rc")
 
 
 @partial(jax.jit, static_argnames=("size", "fields"))
@@ -281,14 +285,16 @@ def _compact(out, live_rows=None) -> CandidatePairs:
     size = 1 << max(10, (num - 1).bit_length())  # pow2 buckets: stable jits
     size = min(size, n)
     packed = "hv" in out
-    names = _FIELDS_PACKED if packed else _FIELDS
+    wide = (not packed) and "cm" in out
+    names = _FIELDS_PACKED if packed else (_FIELDS_WIDE if wide else _FIELDS)
     stacked = np.asarray(_gather_seeds(out, size, fields=names))[:, :num]
     fields = dict(zip(names, stacked))
     if packed:
         hv = fields.pop("hv").astype(np.uint32)
-        cm = fields.pop("cm").astype(np.uint32)
         fields["read_h"] = (hv >> 16).astype(np.int32)
         fields["read_v"] = (hv & 0xFFFF).astype(np.int32)
+    if packed or wide:
+        cm = fields.pop("cm").astype(np.uint32)
         fields["count"] = (cm >> 16).astype(np.int32)
         fields["matches"] = (cm & 0xFFFF).astype(np.int32)
     fields["seed_rc"] = fields["seed_rc"].astype(bool)
@@ -448,34 +454,46 @@ def _extract_kmers_phased(
     return khi, klo, p1, sc, p2
 
 
-@partial(jax.jit, static_argnames=("kmer_size", "splits"))
+@partial(jax.jit, static_argnames=("kmer_size", "splits", "wide"))
 def _chunk_partition(
     codes_bytes, lengths, offsets, n_real, rid_base,
-    kmer_size: int, splits: int,
+    kmer_size: int, splits: int, wide: bool = False,
 ):
     """Beyond-HBM path, per chunk: phased extraction + k-mer-space
     partition (the reference's --split-count hash partitioning,
     include/kmercount.hpp:478-534, applied chunk-wise so only one
     chunk's working set is ever resident). Rows sort by pass tag
-    (sentinels to pass `splits`); `starts` gives each pass's slice."""
+    (sentinels to pass `splits`); `starts` gives each pass's slice.
+
+    wide=False: payload streams (khi, klo, ridpos, sc) — 16-bit ids.
+    wide=True:  payload streams (khi, klo, rid, possc) — ids to 2^31,
+    positions 16-bit, strand in possc bit 0."""
     from bella_tpu.seq.encode import hash64
 
     u32 = jnp.uint32
-    khi, klo, ridpos, sc, _ = _extract_kmers_phased(
-        codes_bytes, lengths, offsets, n_real,
-        kmer_size=kmer_size, pack_ridpos=True,
-    )
-    # chunk-local read ids -> global (ids stay 16-bit by caller contract)
-    ridpos = ridpos + (rid_base.astype(u32) << u32(16))
+    if wide:
+        khi, klo, rid, sc, pos = _extract_kmers_phased(
+            codes_bytes, lengths, offsets, n_real,
+            kmer_size=kmer_size, pack_ridpos=False,
+        )
+        a = rid.astype(u32) + rid_base.astype(u32)
+        b = (pos.astype(u32) << u32(1)) | sc.astype(u32)
+    else:
+        khi, klo, ridpos, sc, _ = _extract_kmers_phased(
+            codes_bytes, lengths, offsets, n_real,
+            kmer_size=kmer_size, pack_ridpos=True,
+        )
+        # chunk-local read ids -> global (ids stay 16-bit by caller
+        # contract)
+        a = ridpos + (rid_base.astype(u32) << u32(16))
+        b = sc
     canon = (khi.astype(_U64) << _U64(32)) | klo.astype(_U64)
     p = (hash64(canon) % _U64(splits)).astype(u32)
     dead = (khi == u32(0xFFFFFFFF)) & (klo == u32(0xFFFFFFFF))
     p = jnp.where(dead, u32(splits), p)
-    p, khi, klo, ridpos, sc = jax.lax.sort(
-        (p, khi, klo, ridpos, sc), num_keys=1
-    )
+    p, khi, klo, a, b = jax.lax.sort((p, khi, klo, a, b), num_keys=1)
     starts = jnp.searchsorted(p, jnp.arange(splits + 1, dtype=u32))
-    return khi, klo, ridpos, sc, starts
+    return khi, klo, a, b, starts
 
 
 @partial(jax.jit, static_argnames=("cap",), donate_argnums=(0, 1, 2, 3))
@@ -830,6 +848,204 @@ def _chain_scans_packed(
     )
 
 
+# ----------------------------------------------------------------------
+# Wide-id packed stages: read ids up to 2^31 (the reference's KMERINDEX
+# uint32/uint64 switch, src/main.cpp:60-61) with 16-bit positions.
+# Occurrence rows are (khi, klo, rid, possc) and candidate rows
+# (h, v, k3, pv) — 4 u32 sort operands either way, so corpora beyond
+# 65,535 reads keep the device fast path instead of falling to the
+# host-staged spill.
+# ----------------------------------------------------------------------
+
+
+@jax.jit
+def _sort_kmers_wide(khi, klo, rid, pos, sc):
+    """K-mer-major sort with wide read ids: positions and strand pack
+    into one u32 (possc = pos << 1 | rc), ids ride as their own u32."""
+    u32 = jnp.uint32
+    possc = (pos.astype(u32) << u32(1)) | sc.astype(u32)
+    return jax.lax.sort(
+        (khi, klo, rid.astype(u32), possc), num_keys=2
+    )
+
+
+@partial(jax.jit, static_argnames=("lower", "upper"))
+def _count_sorted_wide(khi, klo, rid, possc, lower: int, upper: int):
+    """Counting + reliable filter + rank over the wide-id sorted stream."""
+    u32 = jnp.uint32
+    sr = rid.astype(jnp.int32)
+    sp = (possc >> u32(1)).astype(jnp.int32)
+    sc = (possc & u32(1)) != u32(0)
+    kb = seg.boundaries2(khi, klo)
+    ones = jnp.ones_like(sr, dtype=jnp.int32)
+    counts = seg.seg_sum_bcast(ones, kb)
+    rank = seg.seg_cumsum(ones, kb) - 1
+    is_sentinel = (khi == u32(0xFFFFFFFF)) & (klo == u32(0xFFFFFFFF))
+    reliable = (counts >= lower) & (counts <= upper) & (~is_sentinel)
+    nnz = jnp.sum(reliable)
+    num_kmers = jnp.sum(kb & reliable)
+    return reliable, sr, sp, sc, rank, nnz, num_kmers
+
+
+@partial(jax.jit, static_argnames=("size",))
+def _compact_reliable_wide(live, sr, sp, sc, rank, size: int):
+    """Reliable-row compaction with wide ids: the stable single-key sort
+    of _compact_reliable, but rid rides as its own u32 operand and rank
+    is not clamped to 8 bits (upper_freq may reach 2^15)."""
+    u32 = jnp.uint32
+    n = live.shape[0]
+    key = ((~live).astype(u32) << u32(31)) | jax.lax.iota(u32, n)
+    possc = (sp.astype(u32) << u32(1)) | sc.astype(u32)
+    _, rid2, possc2, rank2 = jax.lax.sort(
+        (key, sr.astype(u32), possc, rank.astype(u32)), num_keys=1
+    )
+    sr = rid2[:size].astype(jnp.int32)
+    sp = (possc2[:size] >> u32(1)).astype(jnp.int32)
+    sc = (possc2[:size] & u32(1)) != u32(0)
+    rank = rank2[:size].astype(jnp.int32)
+    return sr, sp, sc, rank
+
+
+def _fused_count_wide(
+    codes, lengths, offsets, n_real=None,
+    kmer_size: int = 17, lower: int = 2, upper: int = 8,
+    use_hopc: bool = False, phased: bool = False,
+):
+    """Wide-id phase-1 driver (extract -> sort -> count), mirroring
+    _fused_count with rid/possc operand layout."""
+    if phased:
+        khi, klo, rid, sc, pos = _extract_kmers_phased(
+            codes, lengths, offsets, n_real,
+            kmer_size=kmer_size, pack_ridpos=False,
+        )
+    else:
+        khi, klo, rid, sc, pos = _extract_kmers(
+            codes, lengths, offsets, n_real,
+            kmer_size=kmer_size, use_hopc=use_hopc, pack_ridpos=False,
+        )
+    khi, klo, rid, possc = _sort_kmers_wide(khi, klo, rid, pos, sc)
+    return _count_sorted_wide(khi, klo, rid, possc, lower=lower, upper=upper)
+
+
+@partial(jax.jit, static_argnames=("kmer_size", "upper", "bin_size"))
+def _fused_emit_wide(
+    n_rows, sr, sp, sc, rank, read_lengths,
+    kmer_size: int, upper: int, bin_size: int,
+):
+    """Wide-id pair emission: candidate rows (h, v, k3, pv) with h and v
+    as separate u32 operands (sentinel 0xFFFFFFFF on h and v); k3 packs
+    (bin, posH, flip) exactly as _fused_emit_packed."""
+    k = kmer_size
+    u32 = jnp.uint32
+    live = jax.lax.iota(jnp.int32, sr.shape[0]) < n_rows
+    hs, vs, k3s, pvs = [], [], [], []
+    for d in range(1, upper):
+        ra, rb = sr[d:], sr[:-d]
+        pa, pb = sp[d:], sp[:-d]
+        ca, cb = sc[d:], sc[:-d]
+        ok = (rank[d:] >= d) & (ra != rb) & live[d:] & live[:-d]
+        h_is_a = ra > rb
+        h = jnp.where(h_is_a, ra, rb)
+        v = jnp.where(h_is_a, rb, ra)
+        pos_h = jnp.where(h_is_a, pa, pb).astype(jnp.int32)
+        pos_v = jnp.where(h_is_a, pb, pa).astype(u32)
+        flip = jnp.where(h_is_a, ca, cb) != jnp.where(h_is_a, cb, ca)
+
+        len_h = read_lengths[jnp.clip(h, 0, read_lengths.shape[0] - 1)]
+        len_v = read_lengths[jnp.clip(v, 0, read_lengths.shape[0] - 1)]
+        beg_h = jnp.where(flip, len_h - pos_h - k, pos_h)
+        ov = (
+            jnp.minimum(beg_h, pos_v.astype(jnp.int32))
+            + jnp.minimum(len_h - (beg_h + k), len_v - (pos_v.astype(jnp.int32) + k))
+            + k
+        )
+        bin_id = jnp.maximum(ov, 0).astype(u32) // u32(bin_size)
+        k3 = (bin_id << u32(17)) | (pos_h.astype(u32) << u32(1)) | flip.astype(u32)
+        hs.append(jnp.where(ok, h.astype(u32), u32(0xFFFFFFFF)))
+        vs.append(jnp.where(ok, v.astype(u32), u32(0xFFFFFFFF)))
+        k3s.append(k3)
+        pvs.append(pos_v)
+    h = jnp.concatenate(hs)
+    v = jnp.concatenate(vs)
+    k3 = jnp.concatenate(k3s)
+    pv = jnp.concatenate(pvs)
+    n_live = jnp.sum((h != u32(0xFFFFFFFF)).astype(jnp.int32))
+    return h, v, k3, pv, n_live
+
+
+@partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+def _chain_sort_wide(h, v, k3, pv):
+    """All four operands are keys: seed choice independent of emit order."""
+    return jax.lax.sort((h, v, k3, pv), num_keys=4)
+
+
+def _chain_wide(h, v, k3, pv, read_lengths, kmer_size: int, bin_size: int,
+                live_rows=None):
+    """Wide-id sort + segmented chain (live-prefix trimming as in
+    _chain_packed)."""
+    h, v, k3, pv = _chain_sort_wide(h, v, k3, pv)
+    if callable(live_rows):
+        live_rows = live_rows()
+    if live_rows is not None:
+        lim = min(_size_bucket(max(int(live_rows), 1 << 10)), h.shape[0])
+        if lim < h.shape[0]:
+            h, v, k3, pv = h[:lim], v[:lim], k3[:lim], pv[:lim]
+    return _chain_scans_wide(
+        h, v, k3, pv, read_lengths, kmer_size=kmer_size, bin_size=bin_size
+    )
+
+
+@partial(jax.jit, static_argnames=("kmer_size", "bin_size"))
+def _chain_scans_wide(h, v, k3, pv, read_lengths, kmer_size: int, bin_size: int):
+    """Segmented chain scans over the (h, v, bin, posH, posV)-sorted
+    wide-id live prefix."""
+    k = kmer_size
+    u32 = jnp.uint32
+    live = h != u32(0xFFFFFFFF)
+    hi = h.astype(jnp.int32)
+    vi = v.astype(jnp.int32)
+    bin_id = (k3 >> u32(17)).astype(jnp.int32)
+    pos_h = ((k3 >> u32(1)) & u32(0xFFFF)).astype(jnp.int32)
+    flip = (k3 & u32(1)).astype(bool)
+    pos_v = pv.astype(jnp.int32)
+
+    len_h = read_lengths[jnp.clip(hi, 0, read_lengths.shape[0] - 1)]
+    len_v = read_lengths[jnp.clip(vi, 0, read_lengths.shape[0] - 1)]
+    beg_h = jnp.where(flip, len_h - pos_h - k, pos_h)
+    ov = (
+        jnp.minimum(beg_h, pos_v)
+        + jnp.minimum(len_h - (beg_h + k), len_v - (pos_v + k))
+        + k
+    ).astype(jnp.int32)
+
+    pair_b = seg.boundaries2(h, v)
+    bin_b = seg.boundaries_many(h, v, bin_id)
+
+    bucket = pos_h // (k + 1)
+    prev_bucket = jnp.concatenate([bucket[:1], bucket[:-1]])
+    dup = (~bin_b) & (bucket == prev_bucket)
+    kept = (~dup) & live
+
+    support = seg.seg_sum_bcast(kept.astype(jnp.int32), bin_b)
+    count = seg.seg_sum_bcast(live.astype(jnp.int32), pair_b)
+    binidx = seg.seg_cumsum(bin_b.astype(jnp.int32), pair_b)
+    # 16-bit positions -> support < 2^12, same int32 score as the packed
+    # chain
+    bin_rank = jnp.minimum(binidx - 1, (1 << 15) - 1)
+    score = support * (1 << 15) + ((1 << 15) - 1 - bin_rank)
+    best = seg.seg_max_bcast(score, pair_b)
+    seed_mask = (score == best) & bin_b & live
+
+    cm = (
+        (jnp.minimum(count, (1 << 16) - 1).astype(u32) << u32(16))
+        | jnp.minimum(support, (1 << 16) - 1).astype(u32)
+    )
+    return dict(
+        seed_mask=seed_mask, read_h=hi, read_v=vi, cm=cm,
+        pos_h=pos_h, pos_v=pos_v, overlap_est=ov, seed_rc=flip,
+    )
+
+
 @partial(jax.jit, static_argnames=("kmer_size",))
 def _chain_stage32(h, v, bin_id, pos_h, pos_v, flip, ov, kmer_size: int):
     """Phase 3: (h, v, bin, posH) 4-key int32 sort + segmented chain."""
@@ -871,7 +1087,8 @@ def _size_bucket(n: int) -> int:
     return ((n + step - 1) // step) * step
 
 
-def _detect_overlaps_split(reads, config: BellaConfig, budget: float):
+def _detect_overlaps_split(reads, config: BellaConfig, budget: float,
+                           wide: bool = False):
     """Beyond-HBM fused path: k-mer-space split counting with on-device
     accumulation (the reference's --split-count, include/kmercount.hpp:
     478-534, without its full re-scan per pass).
@@ -905,11 +1122,12 @@ def _detect_overlaps_split(reads, config: BellaConfig, budget: float):
 
     sent = np.uint32(0xFFFFFFFF)
     # + cap_cp tail slack: _accum_append's fixed-width window may extend
-    # past the last region without clamping (clamping would shift it)
+    # past the last region without clamping (clamping would shift it).
+    # wide mode: aridpos holds rid (u32) and asc holds possc (u32).
     akhi = jnp.full((splits * region_cap + cap_cp,), sent, u32)
     aklo = jnp.full((splits * region_cap + cap_cp,), sent, u32)
     aridpos = jnp.zeros((splits * region_cap + cap_cp,), u32)
-    asc = jnp.zeros((splits * region_cap + cap_cp,), bool)
+    asc = jnp.zeros((splits * region_cap + cap_cp,), u32 if wide else bool)
 
     overflow = 0
     off = [0] * splits
@@ -936,7 +1154,7 @@ def _detect_overlaps_split(reads, config: BellaConfig, budget: float):
         khi, klo_a, ridpos, sc, starts = _chunk_partition(
             jnp.asarray(cbytes), jnp.asarray(lengths_c),
             jnp.asarray(offs_c), jnp.int32(hi - lo), jnp.int32(lo),
-            kmer_size=k, splits=splits,
+            kmer_size=k, splits=splits, wide=wide,
         )
         st = np.asarray(starts)
         for p in range(splits):
@@ -981,20 +1199,31 @@ def _detect_overlaps_split(reads, config: BellaConfig, budget: float):
             aridpos[sl_lo:sl_hi], asc[sl_lo:sl_hi], None,
             pack_ridpos=True,
         )
-        reliable, sr, sp, rank, nnz_p, nk_p = _count_sorted(
-            khi_p, klo_p, rp_p, sc_p, None,
-            lower=config.lower_freq, upper=config.upper_freq,
-            pack_ridpos=True,
-        )
+        if wide:
+            reliable, sr, sp, scw, rank, nnz_p, nk_p = _count_sorted_wide(
+                khi_p, klo_p, rp_p, sc_p,
+                lower=config.lower_freq, upper=config.upper_freq,
+            )
+        else:
+            reliable, sr, sp, rank, nnz_p, nk_p = _count_sorted(
+                khi_p, klo_p, rp_p, sc_p, None,
+                lower=config.lower_freq, upper=config.upper_freq,
+                pack_ridpos=True,
+            )
         n_p = int(nnz_p)
         num_kmers += int(nk_p)
         nnz_total += n_p
         if n_p == 0:
             continue
         size_p = min(_size_bucket(max(n_p, 1 << 14)), region_cap)
-        csr, csp, csc, crank = _compact_reliable(
-            reliable, sr, sp, sc_p, rank, size_p
-        )
+        if wide:
+            csr, csp, csc, crank = _compact_reliable_wide(
+                reliable, sr, sp, scw, rank, size_p
+            )
+        else:
+            csr, csp, csc, crank = _compact_reliable(
+                reliable, sr, sp, sc_p, rank, size_p
+            )
         nv = min(n_p, rel_cap - rel_off)
         if nv < n_p:
             rel_drop += n_p - nv
@@ -1015,17 +1244,30 @@ def _detect_overlaps_split(reads, config: BellaConfig, budget: float):
 
     lengths_dev = jnp.asarray(reads.lengths.astype(np.int32))
     esize = min(_size_bucket(max(rel_off, 1 << 14)), rel_cap)
-    hv, k3, pv, n_cand = _fused_emit_packed(
-        jnp.int32(rel_off), asr[:esize], asp[:esize], ascr[:esize],
-        arank[:esize], lengths_dev,
-        kmer_size=k, upper=config.upper_freq, bin_size=config.bin_size,
-    )
-    del asr, asp, ascr, arank
-    out = _chain_packed(
-        hv, k3, pv, lengths_dev, kmer_size=k, bin_size=config.bin_size,
-        live_rows=lambda: int(n_cand),
-    )
-    del hv, k3, pv
+    if wide:
+        h, v, k3, pv, n_cand = _fused_emit_wide(
+            jnp.int32(rel_off), asr[:esize], asp[:esize], ascr[:esize],
+            arank[:esize], lengths_dev,
+            kmer_size=k, upper=config.upper_freq, bin_size=config.bin_size,
+        )
+        del asr, asp, ascr, arank
+        out = _chain_wide(
+            h, v, k3, pv, lengths_dev, kmer_size=k,
+            bin_size=config.bin_size, live_rows=lambda: int(n_cand),
+        )
+        del h, v, k3, pv
+    else:
+        hv, k3, pv, n_cand = _fused_emit_packed(
+            jnp.int32(rel_off), asr[:esize], asp[:esize], ascr[:esize],
+            arank[:esize], lengths_dev,
+            kmer_size=k, upper=config.upper_freq, bin_size=config.bin_size,
+        )
+        del asr, asp, ascr, arank
+        out = _chain_packed(
+            hv, k3, pv, lengths_dev, kmer_size=k, bin_size=config.bin_size,
+            live_rows=lambda: int(n_cand),
+        )
+        del hv, k3, pv
     pairs = _compact(out)
     return pairs, num_kmers, nnz_total
 
@@ -1048,13 +1290,19 @@ def detect_overlaps(reads, config: BellaConfig):
         # accumulator (+ slack) still fits, else the host-staged path
         # (the reference's column-block staging, overlap.hpp:682-710)
         max_len = int(reads.lengths.max()) if reads.num_reads else 0
-        if (
-            reads.num_reads <= 0xFFFF and max_len <= 0xFFFF
-            and config.upper_freq <= 255
-            and config.bin_size >= 3 and not config.use_hopc
-            and k <= 28 and len(reads.codes) * 30 <= budget
-        ):
-            return _detect_overlaps_split(reads, config, budget)
+        common = (
+            max_len <= 0xFFFF and config.bin_size >= 3
+            and not config.use_hopc and k <= 28
+            and len(reads.codes) * 30 <= budget
+        )
+        p16 = reads.num_reads <= 0xFFFF and config.upper_freq <= 255
+        wide_ok = (
+            reads.num_reads < (1 << 31) - 1
+            and config.upper_freq <= (1 << 15)
+        )
+        if common and (p16 or wide_ok):
+            return _detect_overlaps_split(reads, config, budget,
+                                          wide=not p16)
         from bella_tpu.kmers.count import build_reliable_triples
 
         tri = build_reliable_triples(reads, config)
@@ -1095,6 +1343,44 @@ def detect_overlaps(reads, config: BellaConfig):
         reads.num_reads <= 0xFFFF and max_len <= 0xFFFF
         and config.bin_size >= 3 and config.upper_freq <= 255
     )
+    # wide-id packed path: > 65,535 reads with <= 65,535-base reads (the
+    # common large-corpus shape; KMERINDEX switch src/main.cpp:60-61)
+    wide = (
+        not packed and reads.num_reads < (1 << 31) - 1 and max_len <= 0xFFFF
+        and config.bin_size >= 3 and config.upper_freq <= (1 << 15)
+    )
+    if wide:
+        reliable, sr, sp, sc, rank, nnz, num_kmers = _fused_count_wide(
+            jnp.asarray(codes_packed),
+            jnp.asarray(lengths),
+            jnp.asarray(offsets),
+            n_real=jnp.int32(reads.num_reads),
+            kmer_size=k,
+            lower=config.lower_freq,
+            upper=config.upper_freq,
+            use_hopc=config.use_hopc,
+            phased=phased,
+        )
+        n = int(nnz)
+        if n == 0:
+            return CandidatePairs.empty(), int(num_kmers), 0
+        lengths_dev = jnp.asarray(reads.lengths.astype(np.int32))
+        size = min(_size_bucket(max(n, 1 << 14)), int(sr.shape[0]))
+        csr, csp, csc, crank = _compact_reliable_wide(
+            reliable, sr, sp, sc, rank, size
+        )
+        del reliable, sr, sp, sc, rank
+        h, v, k3, pv, _n_cand = _fused_emit_wide(
+            nnz.astype(jnp.int32), csr, csp, csc, crank, lengths_dev,
+            kmer_size=k, upper=config.upper_freq, bin_size=config.bin_size,
+        )
+        out = _chain_wide(
+            h, v, k3, pv, lengths_dev, kmer_size=k,
+            bin_size=config.bin_size, live_rows=lambda: int(_n_cand),
+        )
+        del h, v, k3, pv, csr, csp, csc, crank
+        pairs = _compact(out)
+        return pairs, int(num_kmers), int(nnz)
     live, sr, sp, sc, rank, nnz, num_kmers = _fused_count(
         jnp.asarray(codes_packed),
         jnp.asarray(lengths),
@@ -1195,6 +1481,33 @@ def generate_candidates(
         )
         out = _chain_packed(
             hv, k3, pv, lengths,
+            kmer_size=config.kmer_size, bin_size=config.bin_size,
+            live_rows=lambda: int(n_cand),
+        )
+        return _compact(out)
+    wide = (
+        not packed and n_reads < (1 << 31) - 1 and max_len <= 0xFFFF
+        and config.bin_size >= 3 and config.upper_freq <= (1 << 15)
+        and triples.nnz * 100 <= config.effective_memory_mb * 1e6
+    )
+    if wide:
+        n = triples.nnz
+        size = 1 << max(14, (n - 1).bit_length())
+        kid = _pad_to_bucket(triples.kmer_ids, size, -1)
+        rank = _rank_from_ids(jnp.asarray(kid))
+        h, v, k3, pv, n_cand = _fused_emit_wide(
+            jnp.int32(n),
+            jnp.asarray(_pad_to_bucket(triples.read_ids, size, 0)),
+            jnp.asarray(_pad_to_bucket(triples.positions, size, 0)),
+            jnp.asarray(_pad_to_bucket(triples.is_rc, size, False)),
+            rank,
+            lengths,
+            kmer_size=config.kmer_size,
+            upper=config.upper_freq,
+            bin_size=config.bin_size,
+        )
+        out = _chain_wide(
+            h, v, k3, pv, lengths,
             kmer_size=config.kmer_size, bin_size=config.bin_size,
             live_rows=lambda: int(n_cand),
         )
