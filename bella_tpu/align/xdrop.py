@@ -496,6 +496,23 @@ def align_candidates(
         beg_v[sel] = arr[3, :sel_valid]
         end_v[sel] = arr[4, :sel_valid]
 
+    if use_pallas:
+        # runtime guard for the static centered band: a pair whose
+        # extension consumed target/query lengths differing by ~W/2 hit
+        # the band edge — its true optimum may drift beyond the static
+        # trajectory (the adaptive-band jax backend would follow it).
+        # Surfaced as a counter so pathological indel drift is visible,
+        # never silent (see pallas_xdrop.py module docstring).
+        drift = np.abs((end_h - beg_h) - (end_v - beg_v))
+        saturated = int((drift >= pallas_band // 2 - 2).sum())
+        if saturated:
+            from bella_tpu.utils.log import log
+
+            log("bandDriftSaturated",
+                f"{saturated} pairs at the static band edge "
+                f"(band {pallas_band}); consider --band-width or the jax "
+                "backend for these")
+
     return AlignmentResult(score, beg_h, end_h, beg_v, end_v, pairs.seed_rc.copy())
 
 

@@ -207,6 +207,8 @@ def sharded_candidates(
     read_lengths: np.ndarray,
     config: BellaConfig,
     mesh: Optional[Mesh] = None,
+    cap_occ: int = 0,
+    cap_pair: int = 0,
 ) -> CandidatePairs:
     """Multi-device candidate generation; result matches the single-chip
     generate_candidates (validated in tests on a CPU mesh)."""
@@ -237,9 +239,12 @@ def sharded_candidates(
     bin_size = config.bin_size
     local = m_pad // n
     # balanced routing keys make per-bucket load ~ local/n; 2x slack +
-    # floor for tiny inputs. Overflow is counted, never silent.
-    cap_occ = max(2 * local // n, 1024)
-    cap_pair = max(2 * local * (upper - 1) // n, 4096)
+    # floor for tiny inputs. Overflow triggers a doubled-capacity retry,
+    # never a drop.
+    if cap_occ <= 0:
+        cap_occ = max(2 * local // n, 1024)
+    if cap_pair <= 0:
+        cap_pair = max(2 * local * (upper - 1) // n, 4096)
 
     max_len = int(np.asarray(read_lengths).max()) if len(read_lengths) else 0
     packed = (
@@ -247,76 +252,94 @@ def sharded_candidates(
         and upper <= 255
     )
     if packed:
-        return _sharded_candidates_packed(
-            mesh, kmers, reads, poss, rcs, read_lengths,
-            (k, 1, upper, bin_size), cap_occ, cap_pair,
+        # NEVER drop on a hot shard: retry with doubled capacities (the
+        # reference stages instead of dropping, include/overlap.hpp:682)
+        for _attempt in range(5):
+            out = _sharded_candidates_packed(
+                mesh, kmers, reads, poss, rcs, read_lengths,
+                (k, 1, upper, bin_size), cap_occ, cap_pair,
+            )
+            if out is not None:
+                return out
+            cap_occ *= 2
+            cap_pair *= 2
+        raise RuntimeError("sharded routing still overflowing after retries")
+
+    def run_u64(cap_occ, cap_pair):
+        @jax.jit
+        @partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P()),
+            out_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
+                       P(AXIS), P(AXIS), P(AXIS)),
+            check_vma=False,
+        )
+        def step(kmer_ids, read_ids, positions, is_rc, rl):
+            nloc = jax.lax.axis_size(AXIS)
+            # ---- 2: reshard by k-mer ----
+            dest = (kmer_ids % nloc).astype(jnp.int32)
+            dest = jnp.where(kmer_ids < 0, nloc, dest)  # padding -> trash
+            (kk, rr, pp, cc), valid, ovf1 = _route(
+                kmer_ids, dest, (kmer_ids, read_ids, positions, is_rc), cap_occ
+            )
+            kk_u = jnp.where(valid & (kk >= 0), kk.astype(_U64), jnp.asarray(SENTINEL))
+
+            # ---- 3: local emit (counting already done globally; reliable
+            # filter re-applied locally is a no-op on dense ids) ----
+            key, pos_h, pos_v, flip, ov = _local_emit(
+                kk_u, rr, pp, cc, rl, (k, 1, upper, bin_size)
+            )
+
+            # ---- 4: reshard by pair ----
+            pdest = (hash64(key) % _U64(nloc)).astype(jnp.int32)
+            pdest = jnp.where(key == jnp.asarray(PAIR_SENTINEL), nloc, pdest)
+            (key2, ph2, pv2, fl2, ov2), pvalid, ovf2 = _route(
+                key, pdest, (key, pos_h, pos_v, flip, ov), cap_pair
+            )
+            key2 = jnp.where(pvalid, key2, jnp.asarray(PAIR_SENTINEL))
+
+            # ---- chain locally ----
+            bin_id = (ov2 // bin_size).astype(jnp.int32)
+            key2, bin_id, ph2, pv2, fl2, ov2 = jax.lax.sort(
+                (key2, bin_id, ph2, pv2, fl2, ov2), num_keys=3
+            )
+            live = key2 != jnp.asarray(PAIR_SENTINEL)
+            pair_b = seg.boundaries(key2)
+            bin_b = seg.boundaries2(key2, bin_id)
+            bucket = ph2 // (k + 1)
+            prev_bucket = jnp.concatenate([bucket[:1], bucket[:-1]])
+            dup = (~bin_b) & (bucket == prev_bucket)
+            kept = (~dup) & live
+            support = seg.seg_sum_bcast(kept.astype(jnp.int32), bin_b)
+            count = seg.seg_sum_bcast(live.astype(jnp.int32), pair_b)
+            binidx = seg.seg_cumsum(bin_b.astype(jnp.int32), pair_b)
+            score = support.astype(jnp.int64) * (1 << 31) + ((1 << 31) - binidx)
+            best = seg.seg_max_bcast(score, pair_b)
+            seed_mask = (score == best) & bin_b & live
+
+            return (seed_mask, key2, ph2, pv2, count, support, ov2, fl2,
+                    (ovf1 + ovf2)[None])
+
+        return step(
+            jnp.asarray(kmers), jnp.asarray(reads), jnp.asarray(poss),
+            jnp.asarray(rcs), jnp.asarray(read_lengths.astype(np.int32)),
         )
 
-    @jax.jit
-    @partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P()),
-        out_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
-                   P(AXIS), P(AXIS), P(AXIS)),
-        check_vma=False,
-    )
-    def step(kmer_ids, read_ids, positions, is_rc, rl):
-        nloc = jax.lax.axis_size(AXIS)
-        # ---- 2: reshard by k-mer ----
-        dest = (kmer_ids % nloc).astype(jnp.int32)
-        dest = jnp.where(kmer_ids < 0, nloc, dest)  # padding -> trash
-        (kk, rr, pp, cc), valid, ovf1 = _route(
-            kmer_ids, dest, (kmer_ids, read_ids, positions, is_rc), cap_occ
-        )
-        kk_u = jnp.where(valid & (kk >= 0), kk.astype(_U64), jnp.asarray(SENTINEL))
-
-        # ---- 3: local emit (counting already done globally; reliable
-        # filter re-applied locally is a no-op on dense ids) ----
-        key, pos_h, pos_v, flip, ov = _local_emit(
-            kk_u, rr, pp, cc, rl, (k, 1, upper, bin_size)
-        )
-
-        # ---- 4: reshard by pair ----
-        pdest = (hash64(key) % _U64(nloc)).astype(jnp.int32)
-        pdest = jnp.where(key == jnp.asarray(PAIR_SENTINEL), nloc, pdest)
-        (key2, ph2, pv2, fl2, ov2), pvalid, ovf2 = _route(
-            key, pdest, (key, pos_h, pos_v, flip, ov), cap_pair
-        )
-        key2 = jnp.where(pvalid, key2, jnp.asarray(PAIR_SENTINEL))
-
-        # ---- chain locally ----
-        bin_id = (ov2 // bin_size).astype(jnp.int32)
-        key2, bin_id, ph2, pv2, fl2, ov2 = jax.lax.sort(
-            (key2, bin_id, ph2, pv2, fl2, ov2), num_keys=3
-        )
-        live = key2 != jnp.asarray(PAIR_SENTINEL)
-        pair_b = seg.boundaries(key2)
-        bin_b = seg.boundaries2(key2, bin_id)
-        bucket = ph2 // (k + 1)
-        prev_bucket = jnp.concatenate([bucket[:1], bucket[:-1]])
-        dup = (~bin_b) & (bucket == prev_bucket)
-        kept = (~dup) & live
-        support = seg.seg_sum_bcast(kept.astype(jnp.int32), bin_b)
-        count = seg.seg_sum_bcast(live.astype(jnp.int32), pair_b)
-        binidx = seg.seg_cumsum(bin_b.astype(jnp.int32), pair_b)
-        score = support.astype(jnp.int64) * (1 << 31) + ((1 << 31) - binidx)
-        best = seg.seg_max_bcast(score, pair_b)
-        seed_mask = (score == best) & bin_b & live
-
-        return (seed_mask, key2, ph2, pv2, count, support, ov2, fl2,
-                (ovf1 + ovf2)[None])
-
-    out = step(
-        jnp.asarray(kmers), jnp.asarray(reads), jnp.asarray(poss),
-        jnp.asarray(rcs), jnp.asarray(read_lengths.astype(np.int32)),
-    )
-    seed_mask, key2, ph2, pv2, count, support, ov2, fl2, ovf = out
-    overflow = int(np.asarray(ovf).sum())
-    if overflow:
+    for _attempt in range(5):
+        out = run_u64(cap_occ, cap_pair)
+        seed_mask, key2, ph2, pv2, count, support, ov2, fl2, ovf = out
+        overflow = int(np.asarray(ovf).sum())
+        if overflow == 0:
+            break
         from bella_tpu.utils.log import log
 
-        log("routingOverflowDropped", overflow)
+        # NEVER drop: double the capacities and redo the exchange
+        log("routingOverflowRetry", f"{overflow} rows, doubling capacities")
+        cap_occ *= 2
+        cap_pair *= 2
+    else:
+        raise RuntimeError("sharded routing still overflowing after retries")
     mask = np.asarray(seed_mask)
     key_np = np.asarray(key2)[mask]
     return CandidatePairs(
@@ -398,7 +421,8 @@ def _sharded_candidates_packed(
     if overflow:
         from bella_tpu.utils.log import log
 
-        log("routingOverflowDropped", overflow)
+        log("routingOverflowRetry", f"{overflow} rows, doubling capacities")
+        return None  # caller doubles the capacities and retries
     mask = np.asarray(seed_mask)
     hv_np = np.asarray(hv)[mask].astype(np.uint32)
     cm_np = np.asarray(cm)[mask].astype(np.uint32)

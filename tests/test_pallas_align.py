@@ -108,3 +108,44 @@ def test_align_candidates_pallas_backend():
             getattr(a_jax, f), getattr(a_pal, f), err_msg=f
         )
     assert int(a_pal.score[0]) == 200
+
+
+def test_band_drift_beyond_w2_documented():
+    """Pathological indel drift: a 200-base insertion shifts the optimal
+    path > W/2 = 64 lanes off-center (band 128). The static centered
+    band cannot follow it — the kernel must degrade GRACEFULLY (score
+    capped by the band edge, never garbage), while the adaptive-band
+    jax backend recovers the full alignment. This documents the one
+    deviation from the reference's adaptive trajectory and pins the
+    runtime guard's premise (xdrop.py bandDriftSaturated)."""
+    from bella_tpu.align.xdrop import extend_batch
+
+    rng = np.random.default_rng(5)
+    t = rng.integers(0, 4, 1400).astype(np.int8)
+    # GRADUAL drift (a contiguous indel would x-drop both backends):
+    # every 7th target base deleted from the query -> the optimal path
+    # drifts ~1 lane per 7 steps while the score keeps climbing,
+    # crossing W/2 = 64 lanes after ~450 bases
+    keep = np.arange(len(t)) % 7 != 6
+    q = t[keep].copy()
+
+    band = 128
+    score_p, te_p, qe_p = run_one(t, q, 50, band=band)
+
+    L = max(len(t), len(q)) + 8
+    T = np.full((1, L), 127, np.int8); T[0, :len(t)] = t
+    Q = np.full((1, L), 127, np.int8); Q[0, :len(q)] = q
+    out = extend_batch(
+        jnp.asarray(T), jnp.asarray(np.array([len(t)], np.int32)),
+        jnp.asarray(Q), jnp.asarray(np.array([len(q)], np.int32)),
+        50, band=band, max_steps=2 * L,
+    )
+    score_j = int(out["score"][0])
+    # adaptive band follows the drift: ~ (6 match - 1 gap) per 7 bases
+    assert score_j >= 700, score_j
+    # static centered band stops near the drift point but stays sane
+    assert 0 <= score_p <= score_j
+    assert score_p >= 250  # it still aligns up to the band edge
+    # the guard's observable: consumed-length drift ~ insertion size
+    # would flag this pair at band//2
+    assert abs((te_p - qe_p)) <= abs(len(q) - len(t)) + band

@@ -45,3 +45,38 @@ def test_sharded_matches_single_chip(data, ndev):
     assert set(ms) == set(mm)
     for key in ms:
         assert ms[key] == mm[key], (key, ms[key], mm[key])
+
+
+def test_sharded_u64_path_matches_single(data):
+    """upper_freq > 255 forces the u64 row path; parity must hold."""
+    reads, cfg, _ = data
+    from bella_tpu import BellaConfig
+    from bella_tpu.kmers import build_reliable_triples, extract_occurrences
+
+    cfg2 = BellaConfig(upper_freq=300, lower_freq=2)
+    tri = build_reliable_triples(reads, cfg2, extract_occurrences(reads, cfg2))
+    single = generate_candidates(tri, reads.lengths, cfg2)
+    multi = sharded_candidates(tri, reads.lengths, cfg2, make_mesh(4))
+    assert _as_map(single) == _as_map(multi)
+
+
+def test_sharded_overflow_retry(data):
+    """Starved capacities must trigger the doubling retry on both the
+    packed and u64 paths with exact parity (never drop)."""
+    reads, cfg, tri = data
+    single = generate_candidates(tri, reads.lengths, cfg)
+    multi = sharded_candidates(
+        tri, reads.lengths, cfg, make_mesh(8), cap_occ=64, cap_pair=128
+    )
+    assert _as_map(single) == _as_map(multi)
+
+    from bella_tpu import BellaConfig
+    from bella_tpu.kmers import build_reliable_triples, extract_occurrences
+
+    cfg2 = BellaConfig(upper_freq=300, lower_freq=2)
+    tri2 = build_reliable_triples(reads, cfg2, extract_occurrences(reads, cfg2))
+    single2 = generate_candidates(tri2, reads.lengths, cfg2)
+    multi2 = sharded_candidates(
+        tri2, reads.lengths, cfg2, make_mesh(8), cap_occ=64, cap_pair=128
+    )
+    assert _as_map(single2) == _as_map(multi2)
