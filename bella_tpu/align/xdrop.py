@@ -496,6 +496,43 @@ def align_candidates(
         beg_v[sel] = arr[3, :sel_valid]
         end_v[sel] = arr[4, :sel_valid]
 
+    import os as _os
+
+    if use_pallas and _os.environ.get("BELLA_ALIGN_CHECK"):
+        # consistency debug switch (the role of the reference's
+        # -D__LIBCUCKOO_SERIAL escape hatch + ASAN config,
+        # makefile-nersc:17-23,70): re-run one sampled batch through the
+        # independent pure-JAX adaptive-band backend and compare. A
+        # miscompiled kernel shows up as widespread score divergence;
+        # band-trajectory differences on drifting pairs stay within
+        # xdrop on all but a few pairs.
+        sel = order[: min(P, batch_size)]
+        pad = batch_size - len(sel)
+        selp = np.concatenate([sel, np.zeros(pad, sel.dtype)]) if pad else sel
+        validp = np.arange(batch_size) < len(sel)
+        ref = np.asarray(_seed_extend_batch(
+            reads_dev, lens_dev,
+            jnp.asarray(pairs.read_h[selp]), jnp.asarray(pairs.read_v[selp]),
+            jnp.asarray(pairs.pos_h[selp].astype(np.int32)),
+            jnp.asarray(pairs.pos_v[selp].astype(np.int32)),
+            jnp.asarray(pairs.seed_rc[selp]), jnp.asarray(validp),
+            jnp.int32(config.xdrop), kmer_size=k, band=config.band_width,
+            max_steps=max_steps,
+        ))[0, : len(sel)]
+        diff = np.abs(ref - score[sel])
+        bad = int((diff > int(config.xdrop)).sum())
+        from bella_tpu.utils.log import log
+
+        log("alignCheck",
+            f"sampled {len(sel)} pairs: max |dScore| {int(diff.max()) if len(sel) else 0}, "
+            f"{bad} beyond xdrop")
+        if bad > max(len(sel) // 20, 2):
+            raise RuntimeError(
+                f"aligner consistency check failed: {bad}/{len(sel)} "
+                "pairs diverge beyond xdrop between the Pallas and jax "
+                "backends"
+            )
+
     if use_pallas:
         # runtime guard for the static centered band: a pair whose
         # extension consumed target/query lengths differing by ~W/2 hit

@@ -149,3 +149,23 @@ def test_band_drift_beyond_w2_documented():
     # the guard's observable: consumed-length drift ~ insertion size
     # would flag this pair at band//2
     assert abs((te_p - qe_p)) <= abs(len(q) - len(t)) + band
+
+
+def test_align_check_switch(monkeypatch):
+    """BELLA_ALIGN_CHECK cross-checks a sampled batch against the jax
+    backend and passes on healthy kernels."""
+    monkeypatch.setenv("BELLA_ALIGN_CHECK", "jax")
+    rng = np.random.default_rng(9)
+    g = rng.integers(0, 4, 3000).astype(np.uint8)
+    seqs = [g[i * 50 : i * 50 + 800] for i in range(20)]
+    reads = ReadSet.from_sequences(
+        ["".join("ACGT"[c] for c in s) for s in seqs]
+    )
+    from bella_tpu.overlap.pairs import detect_overlaps
+
+    cfg = BellaConfig(aligner_backend="pallas", lower_freq=2, upper_freq=20)
+    pairs, _, _ = detect_overlaps(reads, cfg)
+    assert pairs.num_pairs > 0
+    padded, lens = pad_reads(reads)
+    aln = align_candidates(padded, lens, pairs, cfg)
+    assert (aln.score > 0).any()
