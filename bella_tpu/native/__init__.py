@@ -26,7 +26,7 @@ _tried = False
 def _build() -> bool:
     try:
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC, "-o", _SO],
+            ["g++", "-O3", "-march=native", "-pthread", "-shared", "-fPIC", _SRC, "-o", _SO],
             check=True, capture_output=True, timeout=120,
         )
         return True

@@ -16,7 +16,9 @@
 #include <fcntl.h>
 #include <sys/mman.h>
 #include <sys/stat.h>
+#include <thread>
 #include <unistd.h>
+#include <vector>
 
 extern "C" {
 
@@ -66,7 +68,93 @@ int fastq_scan(const char* path, int64_t* num_reads, int64_t* total_bases) {
     return 0;
 }
 
-// Second pass: fill caller-allocated buffers.
+// Record-boundary resync: first record start at byte >= pos (the role
+// of get_fptr_for_next_record, kmercode/fq_reader.c:200-312). A FASTQ
+// quality line may itself start with '@'; a line L is a header iff it
+// starts with '@' AND line L+2 starts with '+' (sequence lines are
+// base characters, never '+', so a quality line that starts with '@'
+// fails the check and the true header two lines later passes it).
+static size_t next_record_start(const char* buf, size_t n, size_t pos) {
+    if (pos == 0) return 0;
+    // back up one byte so a pos landing exactly on a line start is seen
+    const char* nl = (const char*)memchr(buf + pos - 1, '\n', n - (pos - 1));
+    if (!nl) return n;
+    size_t line = nl - buf + 1;
+    for (int tries = 0; tries < 4 && line < n; tries++) {
+        if (buf[line] == '@') {
+            // find start of line+2
+            const char* a = (const char*)memchr(buf + line, '\n', n - line);
+            if (!a) return n;
+            const char* b = (const char*)memchr(a + 1, '\n', n - (a + 1 - buf));
+            if (!b) return n;
+            size_t third = b - buf + 1;
+            if (third < n && buf[third] == '+') return line;
+        }
+        const char* next = (const char*)memchr(buf + line, '\n', n - line);
+        if (!next) return n;
+        line = next - buf + 1;
+    }
+    return n;
+}
+
+struct RangeStats { int64_t reads, bases, name_bytes; double errs; };
+
+static double err_table[256];
+static bool err_init = false;
+
+// Parse records in buf[lo, hi): count-only when codes == nullptr, else
+// fill the caller slices starting at the given output positions.
+static RangeStats parse_range(const char* buf, size_t n, size_t lo, size_t hi,
+                              uint8_t* codes, int64_t base_out,
+                              int64_t* offsets, int64_t read_out,
+                              char* name_buf, int64_t name_out,
+                              int64_t* name_offs) {
+    RangeStats s = {0, 0, 0, 0.0};
+    size_t i = lo;
+    while (i < hi && i < n) {
+        const char* nl1 = (const char*)memchr(buf + i, '\n', n - i);
+        if (!nl1) break;
+        size_t name_start = i + 1;  // skip '@'
+        size_t name_end = nl1 - buf;
+        const char* nl2 = (const char*)memchr(buf + name_end + 1, '\n', n - name_end - 1);
+        if (!nl2) break;
+        size_t seq_start = name_end + 1;
+        size_t seq_end = nl2 - buf;
+        const char* nl3 = (const char*)memchr(buf + seq_end + 1, '\n', n - seq_end - 1);
+        if (!nl3) break;
+        size_t qual_start = nl3 - buf + 1;
+        const char* nl4 = (const char*)memchr(buf + qual_start, '\n', n - qual_start);
+        size_t qual_end = nl4 ? (size_t)(nl4 - buf) : n;
+        size_t seq_len = seq_end - seq_start;
+        if (!nl4 && qual_end - qual_start < seq_len) break;  // truncated
+
+        size_t ne = name_start;
+        while (ne < name_end && buf[ne] != ' ' && buf[ne] != '\t') ne++;
+        int64_t nlen = (int64_t)(ne - name_start);
+
+        if (codes) {
+            memcpy(name_buf + name_out + s.name_bytes, buf + name_start, nlen);
+            name_buf[name_out + s.name_bytes + nlen] = '\0';
+            name_offs[read_out + s.reads + 1] =
+                name_out + s.name_bytes + nlen + 1;
+            for (size_t p = 0; p < seq_len; p++)
+                codes[base_out + s.bases + p] =
+                    base_code((uint8_t)buf[seq_start + p]);
+            for (size_t p = 0; p < seq_len && qual_start + p < qual_end; p++)
+                s.errs += err_table[(uint8_t)buf[qual_start + p]];
+            offsets[read_out + s.reads + 1] = base_out + s.bases + (int64_t)seq_len;
+        }
+        s.name_bytes += nlen + 1;
+        s.bases += (int64_t)seq_len;
+        s.reads++;
+        i = nl4 ? qual_end + 1 : n;
+    }
+    return s;
+}
+
+// Second pass: fill caller-allocated buffers, thread-partitioned over
+// byte ranges resynced to record boundaries (the reference's OpenMP
+// FASTQ split, kmercode/fq_reader.c:314-331, as std::thread ranges).
 //   codes:     [total_bases] uint8 2-bit codes
 //   offsets:   [num_reads+1] int64
 //   name_buf:  [name_cap] char, '\0'-joined read names (first token)
@@ -85,55 +173,64 @@ int64_t fastq_parse(const char* path, uint8_t* codes, int64_t* offsets,
         (const char*)mmap(nullptr, n ? n : 1, PROT_READ, MAP_PRIVATE, fd, 0);
     if (buf == MAP_FAILED) { close(fd); return -1; }
 
-    static double err_table[256];
-    static bool init = false;
-    if (!init) {
+    if (!err_init) {
         for (int q = 0; q < 256; q++)
             err_table[q] = pow(10.0, -((double)(q - 33)) / 10.0);
-        init = true;
+        err_init = true;
     }
 
-    int64_t reads = 0, bases = 0, npos = 0;
-    double errs = 0.0;
-    size_t i = 0;
+    int T = (int)std::thread::hardware_concurrency();
+    if (n < (size_t)(1 << 22)) T = 1;  // small files: one range
+    const char* env = getenv("BELLA_PARSE_THREADS");
+    if (env && atoi(env) > 0) T = atoi(env);  // explicit override wins
+    if (T < 1) T = 1;
+    if (T > 64) T = 64;
+
+    // range starts resynced to record boundaries
+    std::vector<size_t> starts(T + 1);
+    for (int t = 0; t < T; t++)
+        starts[t] = next_record_start(buf, n, (size_t)((n / T) * t));
+    starts[T] = n;
+    for (int t = 1; t < T; t++)  // monotone (tiny files)
+        if (starts[t] < starts[t - 1]) starts[t] = starts[t - 1];
+
+    // pass A: per-range counts
+    std::vector<RangeStats> stats(T);
+    {
+        std::vector<std::thread> ths;
+        for (int t = 0; t < T; t++)
+            ths.emplace_back([&, t] {
+                stats[t] = parse_range(buf, n, starts[t], starts[t + 1],
+                                       nullptr, 0, nullptr, 0, nullptr, 0,
+                                       nullptr);
+            });
+        for (auto& th : ths) th.join();
+    }
+    int64_t reads = 0, bases = 0, names = 0;
+    std::vector<int64_t> r0(T), b0(T), n0(T);
+    for (int t = 0; t < T; t++) {
+        r0[t] = reads; b0[t] = bases; n0[t] = names;
+        reads += stats[t].reads; bases += stats[t].bases;
+        names += stats[t].name_bytes;
+    }
+    if (names > name_cap) { munmap((void*)buf, n ? n : 1); close(fd); return -2; }
+
+    // pass B: parallel fill into disjoint output slices
     offsets[0] = 0;
     name_offs[0] = 0;
-    while (i < n) {
-        const char* nl1 = (const char*)memchr(buf + i, '\n', n - i);
-        if (!nl1) break;
-        size_t name_start = i + 1;  // skip '@'
-        size_t name_end = nl1 - buf;
-        const char* nl2 = (const char*)memchr(buf + name_end + 1, '\n', n - name_end - 1);
-        if (!nl2) break;
-        size_t seq_start = name_end + 1;
-        size_t seq_end = nl2 - buf;
-        const char* nl3 = (const char*)memchr(buf + seq_end + 1, '\n', n - seq_end - 1);
-        if (!nl3) break;
-        size_t qual_start = nl3 - buf + 1;
-        const char* nl4 = (const char*)memchr(buf + qual_start, '\n', n - qual_start);
-        size_t qual_end = nl4 ? (size_t)(nl4 - buf) : n;
-        size_t seq_len = seq_end - seq_start;
-        if (!nl4 && qual_end - qual_start < seq_len) break;  // truncated
-
-        // name: first whitespace-delimited token after '@'
-        size_t ne = name_start;
-        while (ne < name_end && buf[ne] != ' ' && buf[ne] != '\t') ne++;
-        int64_t nlen = (int64_t)(ne - name_start);
-        if (npos + nlen + 1 > name_cap) { munmap((void*)buf, n); close(fd); return -2; }
-        memcpy(name_buf + npos, buf + name_start, nlen);
-        npos += nlen;
-        name_buf[npos++] = '\0';
-        name_offs[reads + 1] = npos;
-
-        for (size_t p = 0; p < seq_len; p++)
-            codes[bases + p] = base_code((uint8_t)buf[seq_start + p]);
-        for (size_t p = 0; p < seq_len && qual_start + p < qual_end; p++)
-            errs += err_table[(uint8_t)buf[qual_start + p]];
-
-        bases += (int64_t)seq_len;
-        reads++;
-        offsets[reads] = bases;
-        i = nl4 ? qual_end + 1 : n;
+    double errs = 0.0;
+    {
+        std::vector<std::thread> ths;
+        std::vector<double> perr(T, 0.0);
+        for (int t = 0; t < T; t++)
+            ths.emplace_back([&, t] {
+                RangeStats s = parse_range(buf, n, starts[t], starts[t + 1],
+                                           codes, b0[t], offsets, r0[t],
+                                           name_buf, n0[t], name_offs);
+                perr[t] = s.errs;
+            });
+        for (auto& th : ths) th.join();
+        for (int t = 0; t < T; t++) errs += perr[t];
     }
     *err_sum = errs;
     munmap((void*)buf, n ? n : 1);

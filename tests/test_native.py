@@ -98,3 +98,33 @@ def test_native_paf_matches_python(tmp_path):
         writers.paf_rows(reads, rh, rv, score, ov, rc, bv, ev, bh, eh)
     )
     assert got == want
+
+
+def test_threaded_parse_matches_serial(tmp_path, monkeypatch):
+    """Thread-partitioned parse (byte ranges resynced to record
+    boundaries, incl. quality lines starting with '@') == serial parse."""
+    import numpy as np
+    from bella_tpu.io.simulate import random_genome, sample_reads, write_fastq
+    from bella_tpu.native import parse_fastq_native, get_lib
+
+    if get_lib() is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+    g = random_genome(30000, seed=97)
+    reads, _ = sample_reads(g, 80, mean_len=1500, min_len=400,
+                            error_rate=0.1, seed=98, circular=False)
+    p = tmp_path / "mt.fastq"
+    # qual_char '@' makes EVERY quality line start with '@' — the resync
+    # ambiguity the reference disambiguates (fq_reader.c:200-312)
+    write_fastq(str(p), reads, qual_char="@")
+    monkeypatch.setenv("BELLA_PARSE_THREADS", "1")
+    a = parse_fastq_native(str(p))
+    for nt in ("2", "5", "13"):
+        monkeypatch.setenv("BELLA_PARSE_THREADS", nt)
+        b = parse_fastq_native(str(p))
+        assert a is not None and b is not None
+        assert a[0] == b[0]                       # names
+        assert (a[1] == b[1]).all()               # codes
+        assert (a[2] == b[2]).all()               # offsets
+        assert abs(a[3] - b[3]) < 1e-6            # err_sum
