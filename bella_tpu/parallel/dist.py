@@ -45,6 +45,7 @@ from bella_tpu.config import BellaConfig
 from bella_tpu.overlap.pairs import (
     CandidatePairs,
     _chain_scans_packed,
+    _chain_scans_wide,
     _extract_kmers_phased,
     _size_bucket,
 )
@@ -146,9 +147,51 @@ def _emit_packed_local(khi, klo, ridpos, sc, read_lengths, reliable, rank,
     return jnp.concatenate(hvs), jnp.concatenate(k3s), jnp.concatenate(pvs)
 
 
+def _emit_wide_local(khi, klo, rid, possc, read_lengths, reliable, rank,
+                     kmer_size: int, upper: int, bin_size: int):
+    """Wide-id pair emission over the locally counted stream: candidate
+    rows (h, v, k3, pv) with h and v as separate u32 operands (the
+    _fused_emit_wide layout, reliable-mask gated)."""
+    k = kmer_size
+    u32 = jnp.uint32
+    sr = rid.astype(jnp.int32)
+    sp = (possc >> u32(1)).astype(jnp.int32)
+    sc = (possc & u32(1)) != u32(0)
+    live = reliable
+    hs, vs, k3s, pvs = [], [], [], []
+    for d in range(1, upper):
+        ra, rb = sr[d:], sr[:-d]
+        pa, pb = sp[d:], sp[:-d]
+        ca, cb = sc[d:], sc[:-d]
+        ok = (rank[d:] >= d) & (ra != rb) & live[d:] & live[:-d]
+        h_is_a = ra > rb
+        h = jnp.where(h_is_a, ra, rb)
+        v = jnp.where(h_is_a, rb, ra)
+        pos_h = jnp.where(h_is_a, pa, pb).astype(jnp.int32)
+        pos_v = jnp.where(h_is_a, pb, pa).astype(u32)
+        flip = jnp.where(h_is_a, ca, cb) != jnp.where(h_is_a, cb, ca)
+
+        len_h = read_lengths[jnp.clip(h, 0, read_lengths.shape[0] - 1)]
+        len_v = read_lengths[jnp.clip(v, 0, read_lengths.shape[0] - 1)]
+        beg_h = jnp.where(flip, len_h - pos_h - k, pos_h)
+        ov = (
+            jnp.minimum(beg_h, pos_v.astype(jnp.int32))
+            + jnp.minimum(len_h - (beg_h + k), len_v - (pos_v.astype(jnp.int32) + k))
+            + k
+        )
+        bin_id = jnp.maximum(ov, 0).astype(u32) // u32(bin_size)
+        k3 = (bin_id << u32(17)) | (pos_h.astype(u32) << u32(1)) | flip.astype(u32)
+        hs.append(jnp.where(ok, h.astype(u32), u32(0xFFFFFFFF)))
+        vs.append(jnp.where(ok, v.astype(u32), u32(0xFFFFFFFF)))
+        k3s.append(k3)
+        pvs.append(pos_v)
+    return (jnp.concatenate(hs), jnp.concatenate(vs),
+            jnp.concatenate(k3s), jnp.concatenate(pvs))
+
+
 def detect_overlaps_sharded(
     reads, config: BellaConfig, mesh: Optional[Mesh] = None,
-    cap_occ: int = 0,
+    cap_occ: int = 0, force_wide: bool = False,
 ) -> Tuple[CandidatePairs, int, int]:
     """Multi-device end-to-end overlap detection (counting included);
     result matches the single-chip detect_overlaps exactly (validated on
@@ -160,16 +203,21 @@ def detect_overlaps_sharded(
     n = int(mesh.devices.size)
     k = config.kmer_size
     max_len = int(reads.lengths.max()) if reads.num_reads else 0
-    if not (
-        reads.num_reads <= 0xFFFF and max_len <= 0xFFFF
-        and config.upper_freq <= 255 and config.bin_size >= 3
+    common = (
+        max_len <= 0xFFFF and config.bin_size >= 3
         and not config.use_hopc and k <= 28 and reads.num_reads > n
-    ):
+    )
+    p16 = reads.num_reads <= 0xFFFF and config.upper_freq <= 255
+    wide_ok = (
+        reads.num_reads < (1 << 31) - 1 and config.upper_freq <= (1 << 15)
+    )
+    if not (common and (p16 or wide_ok)):
         raise ValueError(
-            "distributed detection requires packed rows (<= 65535 reads, "
-            "read length <= 65535, upper_freq <= 255, bin_size >= 3, "
-            "plain k-mers, k <= 28) and more reads than devices"
+            "distributed detection requires read length <= 65535, "
+            "bin_size >= 3, plain k-mers, k <= 28, upper_freq <= 2^15, "
+            "and more reads than devices"
         )
+    wide = force_wide or not p16
 
     codes_b, lengths, offs, n_real, rid_base, cb = _shard_reads(reads, n)
     m_loc = cb  # k-mer positions per device (incl. masked tail)
@@ -187,8 +235,9 @@ def detect_overlaps_sharded(
             jnp.asarray(rl),
             kmer_size=k, lower=config.lower_freq, upper=upper,
             bin_size=config.bin_size, cap_occ=cap_occ, cap_pair=cap_pair,
+            wide=wide,
         )
-        (seed_mask, hv, cm, ph, pv, ov, rc, nnz_d, nk_d, ovf) = out
+        ovf = out[-1]
         overflow = int(np.asarray(ovf).sum())
         if overflow == 0:
             break
@@ -199,14 +248,24 @@ def detect_overlaps_sharded(
     else:
         raise RuntimeError("sharded routing still overflowing after retries")
 
+    if wide:
+        (seed_mask, rh, rv, cm, ph, pv, ov, rc, nnz_d, nk_d, ovf) = out
+    else:
+        (seed_mask, hv, cm, ph, pv, ov, rc, nnz_d, nk_d, ovf) = out
     num_kmers = int(np.asarray(nk_d).sum())
     nnz = int(np.asarray(nnz_d).sum())
     mask = np.asarray(seed_mask)
-    hv_np = np.asarray(hv)[mask].astype(np.uint32)
     cm_np = np.asarray(cm)[mask].astype(np.uint32)
+    if wide:
+        read_h = np.asarray(rh)[mask].astype(np.int32)
+        read_v = np.asarray(rv)[mask].astype(np.int32)
+    else:
+        hv_np = np.asarray(hv)[mask].astype(np.uint32)
+        read_h = (hv_np >> 16).astype(np.int32)
+        read_v = (hv_np & 0xFFFF).astype(np.int32)
     pairs = CandidatePairs(
-        read_h=(hv_np >> 16).astype(np.int32),
-        read_v=(hv_np & 0xFFFF).astype(np.int32),
+        read_h=read_h,
+        read_v=read_v,
         pos_h=np.asarray(ph)[mask],
         pos_v=np.asarray(pv)[mask],
         count=(cm_np >> 16).astype(np.int32),
@@ -220,47 +279,57 @@ def detect_overlaps_sharded(
 @partial(
     jax.jit,
     static_argnames=("kmer_size", "lower", "upper", "bin_size",
-                     "cap_occ", "cap_pair"),
+                     "cap_occ", "cap_pair", "wide"),
     static_argnums=(0,),
 )
 def _dist_step(mesh, codes_b, lengths, offs, n_real, rid_base, rl,
                kmer_size: int, lower: int, upper: int, bin_size: int,
-               cap_occ: int, cap_pair: int):
+               cap_occ: int, cap_pair: int, wide: bool = False):
     u32 = jnp.uint32
+    n_out = 8 if wide else 7
 
     @partial(
         jax.shard_map,
         mesh=mesh,
         in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P()),
-        out_specs=(P(AXIS),) * 7 + (P(AXIS), P(AXIS), P(AXIS)),
+        out_specs=(P(AXIS),) * n_out + (P(AXIS), P(AXIS), P(AXIS)),
         check_vma=False,
     )
     def step(codes_b, lengths, offs, n_real, rid_base, rl):
         nloc = jax.lax.axis_size(AXIS)
         # ---- 2: local extraction (4-phase packed) ----
-        khi, klo, ridpos, sc, _ = _extract_kmers_phased(
-            codes_b[0], lengths[0], offs[0], n_real[0],
-            kmer_size=kmer_size, pack_ridpos=True,
-        )
-        ridpos = ridpos + (rid_base[0].astype(u32) << u32(16))
+        if wide:
+            khi, klo, rid, sc, pos = _extract_kmers_phased(
+                codes_b[0], lengths[0], offs[0], n_real[0],
+                kmer_size=kmer_size, pack_ridpos=False,
+            )
+            a = rid.astype(u32) + rid_base[0].astype(u32)
+            b = (pos.astype(u32) << u32(1)) | sc.astype(u32)
+        else:
+            khi, klo, ridpos, sc, _ = _extract_kmers_phased(
+                codes_b[0], lengths[0], offs[0], n_real[0],
+                kmer_size=kmer_size, pack_ridpos=True,
+            )
+            a = ridpos + (rid_base[0].astype(u32) << u32(16))
+            b = sc
 
         # ---- 3: all_to_all by hash(kmer) ----
         canon = (khi.astype(_U64) << _U64(32)) | klo.astype(_U64)
         dead = (khi == u32(0xFFFFFFFF)) & (klo == u32(0xFFFFFFFF))
         dest = (hash64(canon) % _U64(nloc)).astype(jnp.int32)
         dest = jnp.where(dead, nloc, dest)
-        (khi2, klo2, ridpos2, sc2), valid, ovf1 = _route(
-            canon, dest, (khi, klo, ridpos, sc), cap_occ
+        (khi2, klo2, a2, b2), valid, ovf1 = _route(
+            canon, dest, (khi, klo, a, b), cap_occ
         )
         khi2 = jnp.where(valid, khi2, u32(0xFFFFFFFF))
         klo2 = jnp.where(valid, klo2, u32(0xFFFFFFFF))
 
         # ---- 4: LOCAL counting (sort + segment reduce) ----
-        khi2, klo2, ridpos2, sc2 = jax.lax.sort(
-            (khi2, klo2, ridpos2, sc2), num_keys=2
+        khi2, klo2, a2, b2 = jax.lax.sort(
+            (khi2, klo2, a2, b2), num_keys=2
         )
         kb = seg.boundaries2(khi2, klo2)
-        ones = jnp.ones_like(ridpos2, dtype=jnp.int32)
+        ones = jnp.ones_like(khi2, dtype=jnp.int32)
         counts = seg.seg_sum_bcast(ones, kb)
         sent = (khi2 == u32(0xFFFFFFFF)) & (klo2 == u32(0xFFFFFFFF))
         reliable = (counts >= lower) & (counts <= upper) & (~sent)
@@ -268,9 +337,34 @@ def _dist_step(mesh, codes_b, lengths, offs, n_real, rid_base, rl,
         nnz_loc = jnp.sum(reliable.astype(jnp.int32))
         nk_loc = jnp.sum((kb & reliable).astype(jnp.int32))
 
+        counters = (nnz_loc[None], nk_loc[None])
+        if wide:
+            # ---- 5-7 wide: emit (h, v, k3, pv), pair-route, chain ----
+            h, v, k3, pv = _emit_wide_local(
+                khi2, klo2, a2, b2, rl, reliable, rank,
+                kmer_size=kmer_size, upper=upper, bin_size=bin_size,
+            )
+            pkey = (h.astype(_U64) << _U64(32)) | v.astype(_U64)
+            pdest = (hash64(pkey) % _U64(nloc)).astype(jnp.int32)
+            pdest = jnp.where(h == u32(0xFFFFFFFF), nloc, pdest)
+            (h2, v2, k32, pv2), pvalid, ovf2 = _route(
+                h, pdest, (h, v, k3, pv), cap_pair
+            )
+            h2 = jnp.where(pvalid, h2, u32(0xFFFFFFFF))
+            v2 = jnp.where(pvalid, v2, u32(0xFFFFFFFF))
+            h2, v2, k32, pv2 = jax.lax.sort((h2, v2, k32, pv2), num_keys=4)
+            out = _chain_scans_wide(
+                h2, v2, k32, pv2, rl, kmer_size=kmer_size, bin_size=bin_size
+            )
+            return (
+                out["seed_mask"], out["read_h"], out["read_v"], out["cm"],
+                out["pos_h"], out["pos_v"], out["overlap_est"],
+                out["seed_rc"],
+            ) + counters + ((ovf1 + ovf2)[None],)
+
         # ---- 5: local packed emission ----
         hv, k3, pv = _emit_packed_local(
-            khi2, klo2, ridpos2, sc2, rl, reliable, rank,
+            khi2, klo2, a2, b2, rl, reliable, rank,
             kmer_size=kmer_size, upper=upper, bin_size=bin_size,
         )
 
@@ -288,8 +382,7 @@ def _dist_step(mesh, codes_b, lengths, offs, n_real, rid_base, rl,
         return (
             out["seed_mask"], out["hv"], out["cm"], out["pos_h"],
             out["pos_v"], out["overlap_est"], out["seed_rc"],
-            nnz_loc[None], nk_loc[None], (ovf1 + ovf2)[None],
-        )
+        ) + counters + ((ovf1 + ovf2)[None],)
 
     return step(codes_b, lengths, offs, n_real, rid_base, rl)
 

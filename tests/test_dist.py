@@ -107,3 +107,14 @@ def test_pipeline_devices_matches_single(tmp_path):
     rows8 = sorted(out8.read_text().splitlines())
     assert rows1 == rows8
     assert rows1, "no output rows"
+
+
+def test_dist_wide_matches_single(data):
+    """The wide-id distributed step (h/v split operands, > 64k-read
+    layout) forced onto the small corpus must equal single-chip."""
+    reads, cfg, single, nk, nnz = data
+    multi, nk2, nnz2 = detect_overlaps_sharded(
+        reads, cfg, make_mesh(4), force_wide=True
+    )
+    assert (nk, nnz) == (nk2, nnz2)
+    assert _as_map(single) == _as_map(multi)
