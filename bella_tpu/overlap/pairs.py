@@ -390,7 +390,7 @@ def _extract_kmers_phased(
     codes_bytes: (m/4 + 8,) uint8, 8 zero pad bytes beyond the stream.
     Emits one row per base position (rows whose k-mer would cross a
     read boundary or the stream end are sentinel-masked)."""
-    from bella_tpu.seq.encode import _bitrev2, canonical_kmers, kmer_mask
+    from bella_tpu.seq.encode import canonical_from_window
 
     k = kmer_size
     u32, u64 = jnp.uint32, _U64
@@ -408,21 +408,42 @@ def _extract_kmers_phased(
 
     off32 = offsets.astype(jnp.int32)
     j32 = jnp.arange(mb, dtype=jnp.int32)
-    rids = []
+    # per-phase read ids, each built by a tiny scatter-add of the read
+    # start markers + one prefix sum over the 1-D phase stream. Phase s
+    # covers positions 4j+s, so read r (starting at off[r]) first
+    # appears at j = ceil((off[r]-s)/4). All work stays 1-D mb-sized:
+    # jnp.repeat lowers to full-stream gathers (~96 ms at 8M rows) and
+    # a stride-4 slice of one global rid array relayouts through a
+    # lane-padded (mb, 4) buffer — both measured dead ends on this
+    # target.
+    # out-of-range j0 (read starts after the last phase-s position) is
+    # correctly dropped: no in-range position belongs to it
+    ind4 = jnp.zeros((4, mb), jnp.int32)
     for s in range(4):
-        # bases of read r with position ≡ s (mod 4):
-        # ceil((end-s)/4) - ceil((start-s)/4)
-        cnt = (off32[1:] - s + 3) // 4 - (off32[:-1] - s + 3) // 4
-        rids.append(jnp.repeat(
-            jnp.arange(nreads, dtype=jnp.int32), cnt, total_repeat_length=mb
-        ))
+        j0 = jnp.maximum(off32[:-1] - s + 3, 0) >> 2
+        ind4 = ind4.at[s, j0].add(1, mode="drop")
+    if mb <= (1 << 23):
+        # all four phases share one unrolled Hillis-Steele sweep (the
+        # (4, mb) major dim pads to 8 sublanes — 2x buffer, 1/4 the
+        # scan passes of four 1-D scans)
+        x = ind4
+        d = 1
+        while d < mb:
+            x = x + jnp.concatenate(
+                [jnp.zeros((4, d), jnp.int32), x[:, :-d]], axis=1
+            )
+            d <<= 1
+    else:
+        # huge shapes: one cumsum HLO keeps the allocation plan small
+        # (the unrolled chain plans log2(N) temporaries)
+        x = jnp.cumsum(ind4, axis=1)
+    rids = [x[s] - 1 for s in range(4)]
 
-    mask2k = kmer_mask(k) if k < 32 else u64(0xFFFFFFFFFFFFFFFF)
     khis, klos, p1s, p2s, rcs = [], [], [], [], []
     for s in range(4):
-        raw = (W >> u64(2 * s)) & mask2k
-        val = _bitrev2(raw) >> u64(64 - 2 * k)
-        canon, is_rc = canonical_kmers(val, k)
+        # one bitrev per phase: the twin is (~raw & mask) in this
+        # window layout (see canonical_from_window)
+        canon, is_rc = canonical_from_window(W >> u64(2 * s), k)
         g = 4 * j32 + jnp.int32(s)
         rid = rids[s]
         pos = g - off32[:-1][jnp.clip(rid, 0, nreads - 1)]
@@ -637,11 +658,13 @@ def _fused_emit(
     property, so segments are wholly live or wholly dead. Pair keys are
     (h, v) int32 pairs (no packed uint64)."""
     k = kmer_size
-    hs, vs, phs, pvs, fls = [], [], [], [], []
+    len_s = read_lengths[jnp.clip(sr, 0, read_lengths.shape[0] - 1)]
+    hs, vs, phs, pvs, fls, lhs, lvs = [], [], [], [], [], [], []
     for d in range(1, upper):
         ra, rb = sr[d:], sr[:-d]
         pa, pb = sp[d:], sp[:-d]
         ca, cb = sc[d:], sc[:-d]
+        la, lb = len_s[d:], len_s[:-d]
         ok = (rank[d:] >= d) & (ra != rb) & live[d:] & live[:-d]
         h_is_a = ra > rb
         h = jnp.where(h_is_a, ra, rb)
@@ -651,14 +674,16 @@ def _fused_emit(
         phs.append(jnp.where(h_is_a, pa, pb))
         pvs.append(jnp.where(h_is_a, pb, pa))
         fls.append(jnp.where(h_is_a, ca, cb) != jnp.where(h_is_a, cb, ca))
+        lhs.append(jnp.where(h_is_a, la, lb))
+        lvs.append(jnp.where(h_is_a, lb, la))
     h = jnp.concatenate(hs)
     v = jnp.concatenate(vs)
     pos_h = jnp.concatenate(phs).astype(jnp.int32)
     pos_v = jnp.concatenate(pvs).astype(jnp.int32)
     flip = jnp.concatenate(fls)
 
-    len_h = read_lengths[jnp.clip(h, 0, read_lengths.shape[0] - 1)]
-    len_v = read_lengths[jnp.clip(v, 0, read_lengths.shape[0] - 1)]
+    len_h = jnp.concatenate(lhs)
+    len_v = jnp.concatenate(lvs)
     beg_h = jnp.where(flip, len_h - pos_h - k, pos_h)
     ov = (
         jnp.minimum(beg_h, pos_v)
@@ -689,11 +714,16 @@ def _fused_emit_packed(
     u32 = jnp.uint32
     # rows arrive compacted (reliable-first); the first n_rows are live
     live = jax.lax.iota(jnp.int32, sr.shape[0]) < n_rows
+    # ONE per-row length lookup before the lag loop: the former per-lag
+    # table gathers ran on (upper-1) x rows streams and dominated this
+    # stage (~60 ms at 4M emitted rows on the profile)
+    len_s = read_lengths[jnp.clip(sr, 0, read_lengths.shape[0] - 1)]
     hvs, k3s, pvs = [], [], []
     for d in range(1, upper):
         ra, rb = sr[d:], sr[:-d]
         pa, pb = sp[d:], sp[:-d]
         ca, cb = sc[d:], sc[:-d]
+        la, lb = len_s[d:], len_s[:-d]
         ok = (rank[d:] >= d) & (ra != rb) & live[d:] & live[:-d]
         h_is_a = ra > rb
         h = jnp.where(h_is_a, ra, rb).astype(u32)
@@ -702,8 +732,8 @@ def _fused_emit_packed(
         pos_v = jnp.where(h_is_a, pb, pa).astype(u32)
         flip = jnp.where(h_is_a, ca, cb) != jnp.where(h_is_a, cb, ca)
 
-        len_h = read_lengths[jnp.clip(h.astype(jnp.int32), 0, read_lengths.shape[0] - 1)]
-        len_v = read_lengths[jnp.clip(v.astype(jnp.int32), 0, read_lengths.shape[0] - 1)]
+        len_h = jnp.where(h_is_a, la, lb)
+        len_v = jnp.where(h_is_a, lb, la)
         beg_h = jnp.where(flip, len_h - pos_h - k, pos_h)
         ov = (
             jnp.minimum(beg_h, pos_v.astype(jnp.int32))
@@ -938,11 +968,14 @@ def _fused_emit_wide(
     k = kmer_size
     u32 = jnp.uint32
     live = jax.lax.iota(jnp.int32, sr.shape[0]) < n_rows
+    # one per-row length lookup before the lag loop (see _fused_emit_packed)
+    len_s = read_lengths[jnp.clip(sr, 0, read_lengths.shape[0] - 1)]
     hs, vs, k3s, pvs = [], [], [], []
     for d in range(1, upper):
         ra, rb = sr[d:], sr[:-d]
         pa, pb = sp[d:], sp[:-d]
         ca, cb = sc[d:], sc[:-d]
+        la, lb = len_s[d:], len_s[:-d]
         ok = (rank[d:] >= d) & (ra != rb) & live[d:] & live[:-d]
         h_is_a = ra > rb
         h = jnp.where(h_is_a, ra, rb)
@@ -951,8 +984,8 @@ def _fused_emit_wide(
         pos_v = jnp.where(h_is_a, pb, pa).astype(u32)
         flip = jnp.where(h_is_a, ca, cb) != jnp.where(h_is_a, cb, ca)
 
-        len_h = read_lengths[jnp.clip(h, 0, read_lengths.shape[0] - 1)]
-        len_v = read_lengths[jnp.clip(v, 0, read_lengths.shape[0] - 1)]
+        len_h = jnp.where(h_is_a, la, lb)
+        len_v = jnp.where(h_is_a, lb, la)
         beg_h = jnp.where(flip, len_h - pos_h - k, pos_h)
         ov = (
             jnp.minimum(beg_h, pos_v.astype(jnp.int32))

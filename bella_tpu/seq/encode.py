@@ -114,6 +114,24 @@ def canonical_kmers(kmers, k: int):
     return jnp.where(is_rc, tw, x), is_rc
 
 
+def canonical_from_window(raw, k: int):
+    """(canonical, is_rc) from a FIRST-BASE-LEAST-SIGNIFICANT window.
+
+    `raw` packs k consecutive bases with the first base in the LOWEST
+    2-bit group (the 4-phase sliding-window layout). In that layout the
+    reverse complement needs NO bit reversal: complementing the window
+    in place (~raw) yields comp(b_{k-1})..comp(b_0) read
+    most-significant-first — exactly the twin as a number. Only the
+    forward k-mer needs the 2-bit-group reversal, halving the dominant
+    cost of the phased extractor (emulated-u64 bitrev chains)."""
+    mask = kmer_mask(k)
+    raw = jnp.asarray(raw, dtype=_U64) & mask
+    fwd = _bitrev2(raw) >> _U64(64 - 2 * k)
+    twin = (~raw) & mask
+    is_rc = twin < fwd
+    return jnp.where(is_rc, twin, fwd), is_rc
+
+
 def hopc_kmers(codes, k: int):
     """Homopolymer-compressed canonical k-mers.
 

@@ -23,7 +23,8 @@ from bella_tpu.io.simulate import random_genome, sample_reads
 from bella_tpu.parallel.dist import _shard_reads, detect_overlaps_sharded
 from bella_tpu.parallel.sharded import make_mesh
 
-PER_DEV_BASES = 1_000_000
+import os
+PER_DEV_BASES = int(os.environ.get('WS_PER_DEV_BASES', 300_000))
 
 
 def corpus(n_dev: int):
@@ -42,7 +43,10 @@ def main():
     cfg = BellaConfig()
     print(f"devices available: {len(jax.devices())}")
     rows = []
+    maxd = int(os.environ.get('WS_MAX_DEV', 8))
     for n in (1, 2, 4, 8):
+        if n > maxd:
+            break
         if n > len(jax.devices()):
             break
         reads = corpus(n)
