@@ -250,7 +250,7 @@ def _gather_suffix(S, start, length, L):
 
 
 def _prepare_extensions(reads_dev, lens_dev, bh, bv, ph_raw, pv, rc, k: int,
-                        valid=None):
+                        valid=None, seq_len: int = 0):
     """Strand correction + left/right extension sequence gathers.
 
     Strand handling follows xavierAlign (include/align.hpp:152-202): if
@@ -258,9 +258,17 @@ def _prepare_extensions(reads_dev, lens_dev, bh, bv, ph_raw, pv, rc, k: int,
     reverse-complemented and the seed H coordinate flipped. Left
     extension spans the seed (reversed prefixes up to seed end), right
     extension the suffixes after the seed — mirroring XavierXDrop's
-    EXTEND_BOTH composition (xavier/xavier.h:326-372)."""
-    h_seq = reads_dev[bh]
-    V = reads_dev[bv]
+    EXTEND_BOTH composition (xavier/xavier.h:326-372).
+
+    seq_len: length-tier width — every read in this batch fits seq_len,
+    so the gathered rows slice to (B, seq_len) and all barrel shifts and
+    wavefront feeds run at the tier width, not the corpus-max width."""
+    if seq_len and seq_len < reads_dev.shape[1]:
+        h_seq = reads_dev[bh, :seq_len]
+        V = reads_dev[bv, :seq_len]
+    else:
+        h_seq = reads_dev[bh]
+        V = reads_dev[bv]
     len_h = lens_dev[bh]
     len_v = lens_dev[bv]
     if valid is not None:
@@ -302,15 +310,16 @@ def _combine_extensions(ext, left, right):
     ])
 
 
-@partial(jax.jit, static_argnames=("band", "kmer_size", "max_steps"))
+@partial(jax.jit, static_argnames=("band", "kmer_size", "max_steps", "seq_len"))
 def _seed_extend_batch(
     reads_dev, lens_dev, bh, bv, ph_raw, pv, rc, valid, xdrop,
-    kmer_size: int, band: int, max_steps: int = 0,
+    kmer_size: int, band: int, max_steps: int = 0, seq_len: int = 0,
 ):
     """Both-direction extension of one seed per pair, fused with the
     sequence gathers and strand correction (one dispatch per batch)."""
     ext = _prepare_extensions(
-        reads_dev, lens_dev, bh, bv, ph_raw, pv, rc, kmer_size, valid
+        reads_dev, lens_dev, bh, bv, ph_raw, pv, rc, kmer_size, valid,
+        seq_len=seq_len,
     )
     L = ext["L"]
     steps = max_steps if max_steps > 0 else 2 * L
@@ -326,18 +335,19 @@ def _seed_extend_batch(
 
 
 @partial(jax.jit, static_argnames=(
-    "xdrop", "kmer_size", "band", "interpret", "max_steps"))
+    "xdrop", "kmer_size", "band", "interpret", "max_steps", "seq_len"))
 def _seed_extend_batch_pallas(
     reads_dev, lens_dev, bh, bv, ph_raw, pv, rc, valid,
     xdrop: int, kmer_size: int, band: int, interpret: bool,
-    max_steps: int = 0,
+    max_steps: int = 0, seq_len: int = 0,
 ):
     """Pallas-backed variant: left and right extensions of the whole
     batch are fused into ONE kernel dispatch (2B grid blocks)."""
     from bella_tpu.align.pallas_xdrop import extend_batch_pallas
 
     ext = _prepare_extensions(
-        reads_dev, lens_dev, bh, bv, ph_raw, pv, rc, kmer_size, valid
+        reads_dev, lens_dev, bh, bv, ph_raw, pv, rc, kmer_size, valid,
+        seq_len=seq_len,
     )
     B = ext["lt"].shape[0]
     L = ext["L"]
@@ -439,16 +449,20 @@ def align_candidates(
     # (2*Lmax inside the jit)
     max_steps = int(getattr(config, "max_steps", None) or 0)
 
-    # order by estimated overlap so device blocks are homogeneous in the
-    # number of wavefront steps they run (a lockstep block lives until
-    # its slowest pair dies); fall back to read length when no estimate
+    # order by (read-length tier, estimated overlap): the tier keys each
+    # batch to a pow2 sequence width so short pairs never pay the
+    # corpus-max width in the barrel shifts and wavefront feeds, and
+    # within a tier the overlap estimate keeps lockstep blocks
+    # step-homogeneous (a block lives until its slowest pair dies)
+    pair_len = np.maximum(
+        read_lengths[pairs.read_h], read_lengths[pairs.read_v]
+    ).astype(np.int64)
+    tier = np.maximum(512, 1 << np.ceil(np.log2(np.maximum(pair_len, 1))).astype(np.int64))
+    tier = np.minimum(tier, Lmax)
     if pairs.overlap_est.size and pairs.overlap_est.max() > 0:
-        order = np.argsort(pairs.overlap_est, kind="stable")
+        order = np.lexsort((pairs.overlap_est, tier))
     else:
-        pair_len = np.maximum(
-            read_lengths[pairs.read_h], read_lengths[pairs.read_v]
-        )
-        order = np.argsort(pair_len, kind="stable")
+        order = np.lexsort((pair_len, tier))
 
     # dispatch ALL batches first (async), read back after: device compute
     # of batch b overlaps the host-side prep/readback of its neighbours
@@ -475,15 +489,19 @@ def align_candidates(
             _put(pairs.seed_rc[sel]),
             _put(valid),
         )
+        # batch sequence width = the batch's length tier (int: one
+        # compiled shape per tier)
+        seq_len = int(tier[sel[:sel_valid]].max()) if sel_valid else int(Lmax)
         if use_pallas:
             out = _seed_extend_batch_pallas(
                 *args, xdrop=int(config.xdrop), kmer_size=k,
                 band=pallas_band, interpret=interpret, max_steps=max_steps,
+                seq_len=seq_len,
             )
         else:
             out = _seed_extend_batch(
                 *args, int(config.xdrop), k, config.band_width,
-                max_steps=max_steps,
+                max_steps=max_steps, seq_len=seq_len,
             )
         pending.append((sel, sel_valid, out))
 

@@ -238,6 +238,122 @@ int64_t fastq_parse(const char* path, uint8_t* codes, int64_t* offsets,
     return reads;
 }
 
+
+// ----------------------------------------------------------------------
+// Parallel bulk output: per-thread format buffers + byte prefix sums +
+// concurrent pwrite at offsets into one preallocated file — the
+// reference's parallel writer scheme (include/overlap.hpp:603-640).
+// ----------------------------------------------------------------------
+
+typedef int (*row_fmt_t)(char* out, int cap, int64_t i, const void* ctx);
+
+static int64_t write_rows_parallel(const char* path, int append,
+                                   int64_t nrows, row_fmt_t fmt,
+                                   const void* ctx) {
+    int T = (int)std::thread::hardware_concurrency();
+    const char* env = getenv("BELLA_WRITE_THREADS");
+    if (env && atoi(env) > 0) T = atoi(env);
+    if (T < 1) T = 1;
+    if (T > 64) T = 64;
+    if (nrows < 4096 && !env) T = 1;
+
+    std::vector<std::vector<char>> bufs(T);
+    std::vector<std::thread> ths;
+    for (int t = 0; t < T; t++)
+        ths.emplace_back([&, t] {
+            int64_t lo = nrows * t / T, hi = nrows * (t + 1) / T;
+            std::vector<char>& b = bufs[t];
+            b.reserve((size_t)(hi - lo) * 96);
+            char line[1024];
+            for (int64_t i = lo; i < hi; i++) {
+                int m = fmt(line, (int)sizeof(line), i, ctx);
+                if (m > (int)sizeof(line) - 1) m = (int)sizeof(line) - 1;
+                b.insert(b.end(), line, line + m);
+            }
+        });
+    for (auto& th : ths) th.join();
+
+    int fd = open(path, O_WRONLY | O_CREAT | (append ? 0 : O_TRUNC), 0644);
+    if (fd < 0) return -1;
+    int64_t base = append ? (int64_t)lseek(fd, 0, SEEK_END) : 0;
+    int64_t total = 0;
+    std::vector<int64_t> offs(T + 1);
+    for (int t = 0; t < T; t++) { offs[t] = total; total += (int64_t)bufs[t].size(); }
+    offs[T] = total;
+    if (ftruncate(fd, base + total) != 0) { close(fd); return -1; }
+    std::vector<std::thread> wts;
+    for (int t = 0; t < T; t++)
+        wts.emplace_back([&, t] {
+            const char* pbuf = bufs[t].data();
+            int64_t left = (int64_t)bufs[t].size(), at = base + offs[t];
+            while (left > 0) {
+                ssize_t w = pwrite(fd, pbuf, (size_t)left, (off_t)at);
+                if (w <= 0) break;
+                pbuf += w; at += w; left -= w;
+            }
+        });
+    for (auto& th : wts) th.join();
+    close(fd);
+    return total;
+}
+
+struct M4Ctx {
+    const int32_t *read_h, *read_v, *count, *score;
+    const int64_t* ov; const uint8_t* strand_rc;
+    const int32_t *beg_v, *end_v, *beg_h, *end_h;
+    const char* name_buf; const int64_t* name_offs; const int64_t* lens;
+};
+
+static int fmt_m4(char* out, int cap, int64_t i, const void* vctx) {
+    const M4Ctx* c = (const M4Ctx*)vctx;
+    int32_t h = c->read_h[i], v = c->read_v[i];
+    return snprintf(out, cap,
+        "%s\t%s\t%d\t%d\t%lld\t%c\t%d\t%d\t%lld\t%d\t%d\t%lld\n",
+        c->name_buf + c->name_offs[v], c->name_buf + c->name_offs[h],
+        c->count[i], c->score[i], (long long)c->ov[i],
+        c->strand_rc[i] ? 'c' : 'n', c->beg_v[i], c->end_v[i],
+        (long long)c->lens[v], c->beg_h[i], c->end_h[i],
+        (long long)c->lens[h]);
+}
+
+struct PafCtx {
+    const int32_t *read_h, *read_v, *score;
+    const int64_t* ov; const uint8_t* strand_rc;
+    const int32_t *beg_v, *end_v, *beg_h, *end_h;
+    const char* name_buf; const int64_t* name_offs; const int64_t* lens;
+};
+
+static int fmt_paf(char* out, int cap, int64_t i, const void* vctx) {
+    const PafCtx* c = (const PafCtx*)vctx;
+    int32_t h = c->read_h[i], v = c->read_v[i];
+    long long lh = (long long)c->lens[h];
+    long long bh = c->beg_h[i], eh = c->end_h[i];
+    char strand = '+';
+    if (c->strand_rc[i]) {
+        strand = '-';
+        long long nb = lh - eh, ne = lh - bh;
+        bh = nb; eh = ne;
+    }
+    return snprintf(out, cap,
+        "%s\t%lld\t%d\t%d\t%c\t%s\t%lld\t%lld\t%lld\t%d\t%lld\t255\n",
+        c->name_buf + c->name_offs[v], (long long)c->lens[v], c->beg_v[i],
+        c->end_v[i], strand, c->name_buf + c->name_offs[h], lh, bh, eh,
+        c->score[i], (long long)c->ov[i]);
+}
+
+struct OvCtx {
+    const int32_t *read_h, *read_v, *count, *ov;
+    const char* name_buf; const int64_t* name_offs; const int64_t* lens;
+};
+
+static int fmt_overlap(char* out, int cap, int64_t i, const void* vctx) {
+    const OvCtx* c = (const OvCtx*)vctx;
+    int32_t h = c->read_h[i], v = c->read_v[i];
+    return snprintf(out, cap, "%s\t%s\t%d\t%d\t%lld\t%lld\n",
+        c->name_buf + c->name_offs[v], c->name_buf + c->name_offs[h],
+        c->count[i], c->ov[i], (long long)c->lens[v], (long long)c->lens[h]);
+}
+
 // Bulk M4 writer: formats rows
 //   nameV \t nameH \t count \t score \t ov \t strand \t begV \t endV \t
 //   lenV \t begH \t endH \t lenH\n
@@ -251,27 +367,9 @@ int64_t write_m4(const char* path, int append, int64_t nrows,
                  const int32_t* beg_h, const int32_t* end_h,
                  const char* name_buf, const int64_t* name_offs,
                  const int64_t* lens) {
-    FILE* f = fopen(path, append ? "ab" : "wb");
-    if (!f) return -1;
-    char line[1024];
-    int64_t total = 0;
-    for (int64_t i = 0; i < nrows; i++) {
-        int32_t h = read_h[i], v = read_v[i];
-        int m = snprintf(
-            line, sizeof line,
-            "%s\t%s\t%d\t%d\t%lld\t%c\t%d\t%d\t%lld\t%d\t%d\t%lld\n",
-            name_buf + name_offs[v], name_buf + name_offs[h], count[i],
-            score[i], (long long)ov[i], strand_rc[i] ? 'c' : 'n', beg_v[i],
-            end_v[i], (long long)lens[v], beg_h[i], end_h[i],
-            (long long)lens[h]);
-        // snprintf returns the would-be length on truncation: clamp so
-        // fwrite never reads past the buffer (long read names)
-        if (m > (int)sizeof(line) - 1) m = (int)sizeof(line) - 1;
-        fwrite(line, 1, m, f);
-        total += m;
-    }
-    fclose(f);
-    return total;
+    M4Ctx ctx = {read_h, read_v, count, score, ov, strand_rc,
+                 beg_v, end_v, beg_h, end_h, name_buf, name_offs, lens};
+    return write_rows_parallel(path, append, nrows, fmt_m4, &ctx);
 }
 
 // Bulk PAF writer (include/overlap.hpp:476-489 row format):
@@ -286,35 +384,9 @@ int64_t write_paf(const char* path, int append, int64_t nrows,
                   const int32_t* beg_h, const int32_t* end_h,
                   const char* name_buf, const int64_t* name_offs,
                   const int64_t* lens) {
-    FILE* f = fopen(path, append ? "ab" : "wb");
-    if (!f) return -1;
-    char line[1024];
-    int64_t total = 0;
-    for (int64_t i = 0; i < nrows; i++) {
-        int32_t h = read_h[i], v = read_v[i];
-        long long lh = (long long)lens[h];
-        long long bh = beg_h[i], eh = end_h[i];
-        char strand = '+';
-        if (strand_rc[i]) {
-            strand = '-';
-            long long nb = lh - eh, ne = lh - bh;
-            bh = nb;
-            eh = ne;
-        }
-        int m = snprintf(
-            line, sizeof line,
-            "%s\t%lld\t%d\t%d\t%c\t%s\t%lld\t%lld\t%lld\t%d\t%lld\t255\n",
-            name_buf + name_offs[v], (long long)lens[v], beg_v[i], end_v[i],
-            strand, name_buf + name_offs[h], lh, bh, eh, score[i],
-            (long long)ov[i]);
-        // snprintf returns the would-be length on truncation: clamp so
-        // fwrite never reads past the buffer (long read names)
-        if (m > (int)sizeof(line) - 1) m = (int)sizeof(line) - 1;
-        fwrite(line, 1, m, f);
-        total += m;
-    }
-    fclose(f);
-    return total;
+    PafCtx ctx = {read_h, read_v, score, ov, strand_rc,
+                  beg_v, end_v, beg_h, end_h, name_buf, name_offs, lens};
+    return write_rows_parallel(path, append, nrows, fmt_paf, &ctx);
 }
 
 // Bulk overlap-only writer: nameV nameH count ov lenV lenH
@@ -323,24 +395,8 @@ int64_t write_overlap(const char* path, int append, int64_t nrows,
                       const int32_t* count, const int32_t* ov,
                       const char* name_buf, const int64_t* name_offs,
                       const int64_t* lens) {
-    FILE* f = fopen(path, append ? "ab" : "wb");
-    if (!f) return -1;
-    char line[1024];
-    int64_t total = 0;
-    for (int64_t i = 0; i < nrows; i++) {
-        int32_t h = read_h[i], v = read_v[i];
-        int m = snprintf(line, sizeof line, "%s\t%s\t%d\t%d\t%lld\t%lld\n",
-                         name_buf + name_offs[v], name_buf + name_offs[h],
-                         count[i], ov[i], (long long)lens[v],
-                         (long long)lens[h]);
-        // snprintf returns the would-be length on truncation: clamp so
-        // fwrite never reads past the buffer (long read names)
-        if (m > (int)sizeof(line) - 1) m = (int)sizeof(line) - 1;
-        fwrite(line, 1, m, f);
-        total += m;
-    }
-    fclose(f);
-    return total;
+    OvCtx ctx = {read_h, read_v, count, ov, name_buf, name_offs, lens};
+    return write_rows_parallel(path, append, nrows, fmt_overlap, &ctx);
 }
 
 }  // extern "C"

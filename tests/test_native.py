@@ -128,3 +128,37 @@ def test_threaded_parse_matches_serial(tmp_path, monkeypatch):
         assert (a[1] == b[1]).all()               # codes
         assert (a[2] == b[2]).all()               # offsets
         assert abs(a[3] - b[3]) < 1e-6            # err_sum
+
+
+def test_parallel_writer_matches_serial(tmp_path, monkeypatch):
+    """The parallel pwrite-at-offsets writer (overlap.hpp:603-640
+    scheme) emits byte-identical files at any thread count."""
+    import numpy as np
+    import pytest
+
+    from bella_tpu.io import writers
+    from bella_tpu.io.simulate import random_genome, sample_reads
+    from bella_tpu.native import get_lib
+
+    if get_lib() is None:
+        pytest.skip("native library unavailable")
+    g = random_genome(12000, seed=99)
+    reads, _ = sample_reads(g, 40, mean_len=1200, min_len=500,
+                            error_rate=0.1, seed=100, circular=False)
+    P = 5000
+    rng = np.random.default_rng(7)
+    h = rng.integers(1, reads.num_reads, P).astype(np.int32)
+    v = (h - 1).astype(np.int32)
+    cnt = rng.integers(1, 50, P).astype(np.int32)
+    ov = rng.integers(500, 3000, P).astype(np.int32)
+    outs = {}
+    for nt in ("1", "7"):
+        monkeypatch.setenv("BELLA_WRITE_THREADS", nt)
+        p = tmp_path / f"ov{nt}.out"
+        assert writers.write_overlap_native(
+            str(p), reads,
+            type("P", (), dict(read_h=h, read_v=v, count=cnt,
+                               overlap_est=ov, num_pairs=P))(),
+        )
+        outs[nt] = p.read_bytes()
+    assert outs["1"] == outs["7"] and outs["1"]
