@@ -105,7 +105,14 @@ def main(argv=None) -> int:
         os.remove(out_path)
 
     t0 = time.perf_counter()
-    result = run_files(args.fastq, config, out_path)
+    try:
+        result = run_files(args.fastq, config, out_path)
+    except (RuntimeError, FileNotFoundError) as e:
+        # diagnostic + nonzero exit, as the reference does on empty
+        # reliable sets / unopenable files (include/kmercount.hpp:89-94,
+        # 662-667) — not a traceback
+        print(f"ERROR: {e}", file=sys.stderr)
+        return 1
     total = time.perf_counter() - t0
     log("TotalRuntime", f"{total:.3f} seconds")
     # bare machine-parsable values on stdout (pipeline-script protocol,

@@ -142,3 +142,20 @@ def test_multi_fastq_fofn(tmp_path):
     assert rows
     names = {n for r in rows for n in r.split()[:2]}
     assert names <= set(reads.names)
+
+
+def test_degenerate_inputs(tmp_path):
+    """Empty fastq and all-short reads exit with a diagnostic, not a
+    traceback (reference include/kmercount.hpp:662-667 behavior)."""
+    empty = tmp_path / "empty.fastq"
+    empty.write_text("")
+    r = run_cli(["-f", str(empty), "-o", str(tmp_path / "o1")])
+    assert r.returncode == 1 and "ERROR:" in r.stderr
+
+    short = tmp_path / "short.fastq"
+    short.write_text("@r1\nACGT\n+\nIIII\n@r2\nACGT\n+\nIIII\n")
+    r = run_cli(["-f", str(short), "-o", str(tmp_path / "o2"), "-k", "17"])
+    assert r.returncode == 1 and "ERROR:" in r.stderr
+
+    r = run_cli(["-f", "/nonexistent.fofn", "-o", str(tmp_path / "o3")])
+    assert r.returncode != 0
