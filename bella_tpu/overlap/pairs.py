@@ -554,35 +554,6 @@ def _accum_append(
     )
 
 
-@partial(jax.jit, static_argnames=("cap",), donate_argnums=(0, 1, 2, 3))
-def _accum_append_rel(
-    asr, asp, asc, arank, sr, sp, sc, rank, n_valid, dst_start, cap: int,
-):
-    """Append the first n_valid of up to `cap` compacted reliable rows
-    (already valid-first) into the (donated) reliable accumulators.
-    Read-modify-write beyond n_valid, so the fixed-width window never
-    overwrites rows appended by earlier passes; accumulators carry `cap`
-    rows of tail slack so the write never clamps its start."""
-    keep = jax.lax.iota(jnp.int32, cap) < n_valid
-
-    def fit(a):
-        a = a.astype(jnp.int32)
-        n = a.shape[0]
-        if n < cap:
-            a = jnp.concatenate([a, jnp.zeros((cap - n,), jnp.int32)])
-        return a[:cap]
-
-    d = (dst_start,)
-
-    def rmw(acc, src):
-        old = jax.lax.dynamic_slice(acc, d, (cap,))
-        return jax.lax.dynamic_update_slice(
-            acc, jnp.where(keep, fit(src), old), d
-        )
-
-    return (rmw(asr, sr), rmw(asp, sp), rmw(asc, sc), rmw(arank, rank))
-
-
 @partial(jax.jit, static_argnames=("pack_ridpos",))
 def _sort_kmers(khi, klo, p1, sc, p2, pack_ridpos: bool = False):
     """Phase 1b: k-mer-major sort (separate program; see _extract_kmers)."""
@@ -712,8 +683,13 @@ def _fused_emit_packed(
     operands is ~2.3x less data movement (and much faster compiles)."""
     k = kmer_size
     u32 = jnp.uint32
-    # rows arrive compacted (reliable-first); the first n_rows are live
-    live = jax.lax.iota(jnp.int32, sr.shape[0]) < n_rows
+    # rows arrive compacted (reliable-first): the first n_rows are live.
+    # n_rows may also be a per-row bool mask (the split path concatenates
+    # per-pass compacted blocks, so pad rows sit between blocks).
+    if n_rows.dtype == jnp.bool_:
+        live = n_rows
+    else:
+        live = jax.lax.iota(jnp.int32, sr.shape[0]) < n_rows
     # ONE per-row length lookup before the lag loop: the former per-lag
     # table gathers ran on (upper-1) x rows streams and dominated this
     # stage (~60 ms at 4M emitted rows on the profile)
@@ -967,7 +943,10 @@ def _fused_emit_wide(
     (bin, posH, flip) exactly as _fused_emit_packed."""
     k = kmer_size
     u32 = jnp.uint32
-    live = jax.lax.iota(jnp.int32, sr.shape[0]) < n_rows
+    if n_rows.dtype == jnp.bool_:
+        live = n_rows  # per-row mask (split path, see _fused_emit_packed)
+    else:
+        live = jax.lax.iota(jnp.int32, sr.shape[0]) < n_rows
     # one per-row length lookup before the lag loop (see _fused_emit_packed)
     len_s = read_lengths[jnp.clip(sr, 0, read_lengths.shape[0] - 1)]
     hs, vs, k3s, pvs = [], [], [], []
@@ -1214,13 +1193,12 @@ def _detect_overlaps_split(reads, config: BellaConfig, budget: float,
     if overflow:
         log("splitRoutingOverflowDropped", overflow)
 
-    # per-pass count + reliable compaction into the reliable accumulator
-    # (+ region_cap tail slack: appends are at most region_cap wide and
-    # must never clamp their start, see _accum_append_rel)
-    asr = jnp.zeros((rel_cap + region_cap,), jnp.int32)
-    asp = jnp.zeros((rel_cap + region_cap,), jnp.int32)
-    ascr = jnp.zeros((rel_cap + region_cap,), jnp.int32)
-    arank = jnp.zeros((rel_cap + region_cap,), jnp.int32)
+    # per-pass count + reliable compaction. Compacted per-pass blocks
+    # are simply collected and concatenated — no preallocated
+    # accumulator, no dynamic-offset appends (and no fixed-width window
+    # that could clamp or clobber): pad tails between blocks are masked
+    # out of the emit by a per-row live mask.
+    rel_parts = []   # (csr, csp, csc, crank, n_p) per pass
     rel_off = 0
     num_kmers = 0
     nnz_total = 0
@@ -1262,10 +1240,7 @@ def _detect_overlaps_split(reads, config: BellaConfig, budget: float,
             rel_drop += n_p - nv
         if nv <= 0:
             continue
-        asr, asp, ascr, arank = _accum_append_rel(
-            asr, asp, ascr, arank, csr, csp, csc, crank,
-            np.int32(nv), np.int32(rel_off), cap=size_p,
-        )
+        rel_parts.append((csr, csp, csc, crank, nv))
         rel_off += nv
     if rel_drop:
         log("splitReliableOverflowDropped", rel_drop)
@@ -1276,14 +1251,24 @@ def _detect_overlaps_split(reads, config: BellaConfig, budget: float,
         return CandidatePairs.empty(), num_kmers, 0
 
     lengths_dev = jnp.asarray(reads.lengths.astype(np.int32))
-    esize = min(_size_bucket(max(rel_off, 1 << 14)), rel_cap)
+    # concatenate the per-pass compacted blocks; live marks the valid
+    # prefix of each block (passes own disjoint k-mer sets, so segments
+    # never straddle block pads)
+    asr = jnp.concatenate([p[0] for p in rel_parts])
+    asp = jnp.concatenate([p[1] for p in rel_parts])
+    ascr = jnp.concatenate([p[2] for p in rel_parts])
+    arank = jnp.concatenate([p[3] for p in rel_parts])
+    live = jnp.concatenate([
+        jax.lax.iota(jnp.int32, p[0].shape[0]) < jnp.int32(p[4])
+        for p in rel_parts
+    ])
+    del rel_parts
     if wide:
         h, v, k3, pv, n_cand = _fused_emit_wide(
-            jnp.int32(rel_off), asr[:esize], asp[:esize], ascr[:esize],
-            arank[:esize], lengths_dev,
+            live, asr, asp, ascr, arank, lengths_dev,
             kmer_size=k, upper=config.upper_freq, bin_size=config.bin_size,
         )
-        del asr, asp, ascr, arank
+        del asr, asp, ascr, arank, live
         out = _chain_wide(
             h, v, k3, pv, lengths_dev, kmer_size=k,
             bin_size=config.bin_size, live_rows=lambda: int(n_cand),
@@ -1291,11 +1276,10 @@ def _detect_overlaps_split(reads, config: BellaConfig, budget: float,
         del h, v, k3, pv
     else:
         hv, k3, pv, n_cand = _fused_emit_packed(
-            jnp.int32(rel_off), asr[:esize], asp[:esize], ascr[:esize],
-            arank[:esize], lengths_dev,
+            live, asr, asp, ascr, arank, lengths_dev,
             kmer_size=k, upper=config.upper_freq, bin_size=config.bin_size,
         )
-        del asr, asp, ascr, arank
+        del asr, asp, ascr, arank, live
         out = _chain_packed(
             hv, k3, pv, lengths_dev, kmer_size=k, bin_size=config.bin_size,
             live_rows=lambda: int(n_cand),
