@@ -149,3 +149,20 @@ def test_translate_cli_daligner(tmp_path):
     tmain(["--format", "daligner", str(src), str(dst)])
     f = dst.read_text().split("\t")
     assert f[4] == "+" and len(f) == 12
+
+
+def test_eval_cli_main(tmp_path, capsys):
+    """The evaluator CLI (role of the reference `result` binary,
+    benchmark/evaluation.cpp) scores an M4 file against truth."""
+    from bella_tpu.eval.evaluate import main as emain
+
+    t = tmp_path / "truth.txt"
+    t.write_text("ref r1 0 5000\nref r2 2000 7000\nref r3 20000 30000\n")
+    out = tmp_path / "out.m4"
+    out.write_text(
+        "r1\tr2\t5\t2800\t3000\tn\t0\t2900\t5000\t2000\t4900\t5000\n"
+        "r1\tr3\t5\t2800\t3000\tn\t0\t2900\t5000\t0\t2900\t10000\n"  # false positive
+    )
+    emain(["-G", str(t), "-B", str(out)])
+    cap = capsys.readouterr().out
+    assert "bella:" in cap and "RC=100.00%" in cap and "PR=50.00%" in cap
