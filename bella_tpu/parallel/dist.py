@@ -107,16 +107,15 @@ def _shard_reads(reads, n: int):
     return codes_b, lengths, offs, n_real, rid_base, cb
 
 
-def _emit_packed_local(khi, klo, ridpos, sc, read_lengths, reliable, rank,
+def _emit_packed_local(ridpos, sc, read_lengths, live, rank,
                        kmer_size: int, upper: int, bin_size: int):
-    """Packed pair emission over the locally counted (k-mer-sorted)
-    stream: the _fused_emit_packed lag pairing, gated on the reliable
-    mask directly (no compaction step inside the shard)."""
+    """Packed pair emission over the in-shard compacted reliable prefix
+    (k-mer-sorted, whole segments): the _fused_emit_packed lag pairing,
+    gated on the live-prefix mask."""
     k = kmer_size
     u32 = jnp.uint32
     sr = (ridpos >> u32(16)).astype(jnp.int32)
     sp = (ridpos & u32(0xFFFF)).astype(jnp.int32)
-    live = reliable
     hvs, k3s, pvs = [], [], []
     for d in range(1, upper):
         ra, rb = sr[d:], sr[:-d]
@@ -147,17 +146,16 @@ def _emit_packed_local(khi, klo, ridpos, sc, read_lengths, reliable, rank,
     return jnp.concatenate(hvs), jnp.concatenate(k3s), jnp.concatenate(pvs)
 
 
-def _emit_wide_local(khi, klo, rid, possc, read_lengths, reliable, rank,
+def _emit_wide_local(rid, possc, read_lengths, live, rank,
                      kmer_size: int, upper: int, bin_size: int):
-    """Wide-id pair emission over the locally counted stream: candidate
-    rows (h, v, k3, pv) with h and v as separate u32 operands (the
-    _fused_emit_wide layout, reliable-mask gated)."""
+    """Wide-id pair emission over the in-shard compacted reliable prefix:
+    candidate rows (h, v, k3, pv) with h and v as separate u32 operands
+    (the _fused_emit_wide layout, live-prefix gated)."""
     k = kmer_size
     u32 = jnp.uint32
     sr = rid.astype(jnp.int32)
     sp = (possc >> u32(1)).astype(jnp.int32)
     sc = (possc & u32(1)) != u32(0)
-    live = reliable
     hs, vs, k3s, pvs = [], [], [], []
     for d in range(1, upper):
         ra, rb = sr[d:], sr[:-d]
@@ -228,14 +226,20 @@ def detect_overlaps_sharded(
     rl = reads.lengths.astype(np.int32)
 
     for attempt in range(5):
-        cap_pair = max(2 * (upper - 1) * (n * cap_occ) // n, 8192)
+        # in-shard reliable prefix capacity: the received occurrence
+        # stream (n * cap_occ rows) is mostly routing pad + unreliable
+        # rows; compacting reliable segments to a half-size prefix
+        # before emission halves the emit stream, the pair exchange,
+        # and the chain sort (overflow retries double it with cap_occ)
+        cap_rel = min(max(n * cap_occ // 2, 8192), n * cap_occ)
+        cap_pair = max(2 * (upper - 1) * cap_rel // n, 8192)
         out = _dist_step(
             mesh, jnp.asarray(codes_b), jnp.asarray(lengths),
             jnp.asarray(offs), jnp.asarray(n_real), jnp.asarray(rid_base),
             jnp.asarray(rl),
             kmer_size=k, lower=config.lower_freq, upper=upper,
-            bin_size=config.bin_size, cap_occ=cap_occ, cap_pair=cap_pair,
-            wide=wide,
+            bin_size=config.bin_size, cap_occ=cap_occ, cap_rel=cap_rel,
+            cap_pair=cap_pair, wide=wide,
         )
         ovf = out[-1]
         overflow = int(np.asarray(ovf).sum())
@@ -279,12 +283,13 @@ def detect_overlaps_sharded(
 @partial(
     jax.jit,
     static_argnames=("kmer_size", "lower", "upper", "bin_size",
-                     "cap_occ", "cap_pair", "wide"),
+                     "cap_occ", "cap_rel", "cap_pair", "wide"),
     static_argnums=(0,),
 )
 def _dist_step(mesh, codes_b, lengths, offs, n_real, rid_base, rl,
                kmer_size: int, lower: int, upper: int, bin_size: int,
-               cap_occ: int, cap_pair: int, wide: bool = False):
+               cap_occ: int, cap_rel: int, cap_pair: int,
+               wide: bool = False):
     u32 = jnp.uint32
     n_out = 8 if wide else 7
 
@@ -337,11 +342,30 @@ def _dist_step(mesh, codes_b, lengths, offs, n_real, rid_base, rl,
         nnz_loc = jnp.sum(reliable.astype(jnp.int32))
         nk_loc = jnp.sum((kb & reliable).astype(jnp.int32))
 
+        # ---- 4b: in-shard reliable compaction ----
+        # The received stream is mostly routing pad + unreliable rows;
+        # a stable live-first sort moves reliable rows to a cap_rel
+        # prefix so emission runs on half the rows. `reliable` is a
+        # per-segment predicate (counts broadcast), so the prefix is
+        # whole k-mer segments in order and lag pairing stays valid;
+        # rank rides along. Live rows past cap_rel count as overflow
+        # (the host retries with doubled capacities — never dropped).
+        m_recv = khi2.shape[0]
+        ckey = ((~reliable).astype(u32) << u32(31)) | jax.lax.iota(u32, m_recv)
+        _, a3, b3, rank3 = jax.lax.sort(
+            (ckey, a2, b2, rank.astype(u32)), num_keys=1
+        )
+        a3 = a3[:cap_rel]
+        b3 = b3[:cap_rel]
+        rank3 = rank3[:cap_rel].astype(jnp.int32)
+        live3 = jax.lax.iota(jnp.int32, cap_rel) < nnz_loc
+        ovf_rel = jnp.maximum(nnz_loc - jnp.int32(cap_rel), 0)
+
         counters = (nnz_loc[None], nk_loc[None])
         if wide:
             # ---- 5-7 wide: emit (h, v, k3, pv), pair-route, chain ----
             h, v, k3, pv = _emit_wide_local(
-                khi2, klo2, a2, b2, rl, reliable, rank,
+                a3, b3, rl, live3, rank3,
                 kmer_size=kmer_size, upper=upper, bin_size=bin_size,
             )
             pkey = (h.astype(_U64) << _U64(32)) | v.astype(_U64)
@@ -360,11 +384,11 @@ def _dist_step(mesh, codes_b, lengths, offs, n_real, rid_base, rl,
                 out["seed_mask"], out["read_h"], out["read_v"], out["cm"],
                 out["pos_h"], out["pos_v"], out["overlap_est"],
                 out["seed_rc"],
-            ) + counters + ((ovf1 + ovf2)[None],)
+            ) + counters + ((ovf1 + ovf2 + ovf_rel)[None],)
 
         # ---- 5: local packed emission ----
         hv, k3, pv = _emit_packed_local(
-            khi2, klo2, a2, b2, rl, reliable, rank,
+            a3, b3, rl, live3, rank3,
             kmer_size=kmer_size, upper=upper, bin_size=bin_size,
         )
 
@@ -382,7 +406,7 @@ def _dist_step(mesh, codes_b, lengths, offs, n_real, rid_base, rl,
         return (
             out["seed_mask"], out["hv"], out["cm"], out["pos_h"],
             out["pos_v"], out["overlap_est"], out["seed_rc"],
-        ) + counters + ((ovf1 + ovf2)[None],)
+        ) + counters + ((ovf1 + ovf2 + ovf_rel)[None],)
 
     return step(codes_b, lengths, offs, n_real, rid_base, rl)
 
