@@ -554,39 +554,70 @@ def _accum_append(
     )
 
 
-@partial(jax.jit, static_argnames=("pack_ridpos",))
-def _sort_kmers(khi, klo, p1, sc, p2, pack_ridpos: bool = False):
-    """Phase 1b: k-mer-major sort (separate program; see _extract_kmers)."""
+@partial(jax.jit, static_argnames=("pack_ridpos", "pack_sc"))
+def _sort_kmers(khi, klo, p1, sc, p2, pack_ridpos: bool = False,
+                pack_sc: bool = False):
+    """Phase 1b: k-mer-major sort (separate program; see _extract_kmers).
+
+    pack_sc (requires pack_ridpos and k <= 31, i.e. the high k-mer word
+    below 2^31): the whole 2k-bit k-mer shifts left by one across both
+    key words and the strand bit takes bit 0 of the LOW word — i.e.
+    BELOW every k-mer bit, so equal k-mers stay contiguous — cutting
+    the big sort from 4 operands to 3 (~12 ms per operand at 8.4M rows
+    on this chip). Equal k-mers then order by strand before stream
+    order — harmless, because the chain stage re-sorts candidates by
+    all three packed fields, so the final seeds are independent of
+    intra-segment emit order."""
+    if pack_sc:
+        u32 = jnp.uint32
+        dead = (khi == u32(0xFFFFFFFF)) & (klo == u32(0xFFFFFFFF))
+        khi2 = jnp.where(dead, u32(0xFFFFFFFF),
+                         (khi << u32(1)) | (klo >> u32(31)))
+        klo2 = jnp.where(dead, u32(0xFFFFFFFF),
+                         (klo << u32(1)) | sc.astype(u32))
+        khi2, klo2, p1 = jax.lax.sort((khi2, klo2, p1), num_keys=2)
+        return khi2, klo2, p1, None, None
     if pack_ridpos:
         return jax.lax.sort((khi, klo, p1, sc), num_keys=2) + (None,)
     khi, klo, sr, sp, sc = jax.lax.sort((khi, klo, p1, p2, sc), num_keys=2)
     return khi, klo, sr, sc, sp
 
 
-@partial(jax.jit, static_argnames=("lower", "upper", "pack_ridpos"))
+@partial(jax.jit, static_argnames=("lower", "upper", "pack_ridpos",
+                                   "pack_sc"))
 def _count_sorted(
     khi, klo, p1, sc, p2,
     lower: int = 2, upper: int = 8, pack_ridpos: bool = False,
+    pack_sc: bool = False,
 ):
     """Phase 1b: exact counting + reliable filter + within-segment rank
-    over the k-mer-sorted stream (separate program; see _extract_sort)."""
+    over the k-mer-sorted stream (separate program; see _extract_sort).
+    Returns the strand column too: unpacked from bit 0 of the high key
+    word under pack_sc (see _sort_kmers), passed through otherwise."""
+    u32 = jnp.uint32
     if pack_ridpos:
-        u32 = jnp.uint32
         sr = (p1 >> u32(16)).astype(jnp.int32)
         sp = (p1 & u32(0xFFFF)).astype(jnp.int32)
     else:
         sr, sp = p1, p2
-    kb = seg.boundaries2(khi, klo)
+    is_sentinel = (khi == u32(0xFFFFFFFF)) & (klo == u32(0xFFFFFFFF))
+    if pack_sc:
+        # strand in bit 0 of the LOW word (see _sort_kmers pack_sc);
+        # segment on the k-mer bits only — sentinels keep both words at
+        # 0xFFFFFFFF, above any real shifted k-mer for k <= 31
+        sc = ((klo & u32(1)) != u32(0)) & (~is_sentinel)
+        kb = seg.boundaries2(khi, klo >> u32(1))
+    else:
+        kb = seg.boundaries2(khi, klo)
     ones = jnp.ones_like(sr, dtype=jnp.int32)
     # gather-free int32 segment ops (int64 associative scans blow up this
     # toolchain's compile-helper memory at large shapes)
     counts = seg.seg_sum_bcast(ones, kb)
     rank = seg.seg_cumsum(ones, kb) - 1
-    is_sentinel = (khi == jnp.uint32(0xFFFFFFFF)) & (klo == jnp.uint32(0xFFFFFFFF))
     reliable = (counts >= lower) & (counts <= upper) & (~is_sentinel)
     nnz = jnp.sum(reliable)
     num_kmers = jnp.sum(kb & reliable)
-    return reliable, sr, sp, rank, nnz, num_kmers
+    return reliable, sr, sp, sc, rank, nnz, num_kmers
 
 
 def _fused_count(
@@ -608,12 +639,15 @@ def _fused_count(
             codes, lengths, offsets, n_real,
             kmer_size=kmer_size, use_hopc=use_hopc, pack_ridpos=pack_ridpos,
         )
+    # strand bit in the key (3-operand sort) whenever the high k-mer
+    # word leaves bit 31 free — always true at the packed path's k <= 28
+    pack_sc = pack_ridpos and kmer_size <= 31
     khi, klo, p1, sc, p2 = _sort_kmers(
-        khi, klo, p1, sc, p2, pack_ridpos=pack_ridpos
+        khi, klo, p1, sc, p2, pack_ridpos=pack_ridpos, pack_sc=pack_sc
     )
-    reliable, sr, sp, rank, nnz, num_kmers = _count_sorted(
+    reliable, sr, sp, sc, rank, nnz, num_kmers = _count_sorted(
         khi, klo, p1, sc, p2,
-        lower=lower, upper=upper, pack_ridpos=pack_ridpos,
+        lower=lower, upper=upper, pack_ridpos=pack_ridpos, pack_sc=pack_sc,
     )
     return reliable, sr, sp, sc, rank, nnz, num_kmers
 
@@ -732,17 +766,22 @@ def _fused_emit_packed(
     return hv, k3, pv, n_live
 
 
-@partial(jax.jit, static_argnames=("size",))
-def _compact_reliable(live, sr, sp, sc, rank, size: int):
-    """Sort-based device compaction of reliable occurrence rows: a
-    stable single-key sort beats nonzero+gather by ~20x on this
-    toolchain (gathers/scatters are the slow path; sorts are fast).
-    The dead bit rides in bit 31 of the row-index key (streams < 2^31
-    rows), and the four payloads pack into two uint32 operands — rows
-    that survive are reliable, so rank < upper_freq <= 255 — keeping
-    the sort at 3 operands instead of 6. Stability (index key) keeps
-    k-mer segments contiguous and in order, so downstream lag-pairing
-    still works on the prefix."""
+@jax.jit
+def _compact_sort(live, sr, sp, sc, rank):
+    """Sort half of the reliable-row compaction: a stable single-key
+    sort beats nonzero+gather by ~20x on this toolchain (gathers /
+    scatters are the slow path; sorts are fast). The dead bit rides in
+    bit 31 of the row-index key (streams < 2^31 rows), and the four
+    payloads pack into two uint32 operands — rows that survive are
+    reliable, so rank < upper_freq <= 255 — keeping the sort at 3
+    operands instead of 6. Stability (index key) keeps k-mer segments
+    contiguous and in order, so downstream lag-pairing still works on
+    the prefix.
+
+    Split from the size-slicing half so the driver can DISPATCH this
+    sort before it blocks on the nnz readback (the slice size depends
+    on nnz; the sort does not) — the ~27 ms relay round trip and the
+    sort then overlap instead of serialising."""
     u32 = jnp.uint32
     n = live.shape[0]
     key = ((~live).astype(u32) << u32(31)) | jax.lax.iota(u32, n)
@@ -752,11 +791,26 @@ def _compact_reliable(live, sr, sp, sc, rank, size: int):
         | jnp.minimum(rank.astype(u32), u32(255))
     )
     _, ridpos, misc = jax.lax.sort((key, ridpos, misc), num_keys=1)
+    return ridpos, misc
+
+
+@partial(jax.jit, static_argnames=("size",))
+def _compact_slice(ridpos, misc, size: int):
+    """Slice half of the reliable-row compaction (static-size prefix +
+    field unpack; trivial program, one compile per size bucket)."""
+    u32 = jnp.uint32
     sr = (ridpos[:size] >> u32(16)).astype(jnp.int32)
     sp = (ridpos[:size] & u32(0xFFFF)).astype(jnp.int32)
     sc = (misc[:size] >> u32(8)) != u32(0)
     rank = (misc[:size] & u32(0xFF)).astype(jnp.int32)
     return sr, sp, sc, rank
+
+
+def _compact_reliable(live, sr, sp, sc, rank, size: int):
+    """Sort-based device compaction of reliable occurrence rows (see
+    _compact_sort for the design; this wrapper runs both halves)."""
+    ridpos, misc = _compact_sort(live, sr, sp, sc, rank)
+    return _compact_slice(ridpos, misc, size)
 
 
 @partial(jax.jit, donate_argnums=(0, 1, 2))
@@ -893,11 +947,12 @@ def _count_sorted_wide(khi, klo, rid, possc, lower: int, upper: int):
     return reliable, sr, sp, sc, rank, nnz, num_kmers
 
 
-@partial(jax.jit, static_argnames=("size",))
-def _compact_reliable_wide(live, sr, sp, sc, rank, size: int):
-    """Reliable-row compaction with wide ids: the stable single-key sort
-    of _compact_reliable, but rid rides as its own u32 operand and rank
-    is not clamped to 8 bits (upper_freq may reach 2^15)."""
+@jax.jit
+def _compact_sort_wide(live, sr, sp, sc, rank):
+    """Sort half of the wide-id reliable compaction (see _compact_sort:
+    split so the sort dispatches before the nnz readback blocks). rid
+    rides as its own u32 operand and rank is not clamped to 8 bits
+    (upper_freq may reach 2^15)."""
     u32 = jnp.uint32
     n = live.shape[0]
     key = ((~live).astype(u32) << u32(31)) | jax.lax.iota(u32, n)
@@ -905,11 +960,24 @@ def _compact_reliable_wide(live, sr, sp, sc, rank, size: int):
     _, rid2, possc2, rank2 = jax.lax.sort(
         (key, sr.astype(u32), possc, rank.astype(u32)), num_keys=1
     )
+    return rid2, possc2, rank2
+
+
+@partial(jax.jit, static_argnames=("size",))
+def _compact_slice_wide(rid2, possc2, rank2, size: int):
+    """Slice half of the wide-id reliable compaction."""
+    u32 = jnp.uint32
     sr = rid2[:size].astype(jnp.int32)
     sp = (possc2[:size] >> u32(1)).astype(jnp.int32)
     sc = (possc2[:size] & u32(1)) != u32(0)
     rank = rank2[:size].astype(jnp.int32)
     return sr, sp, sc, rank
+
+
+def _compact_reliable_wide(live, sr, sp, sc, rank, size: int):
+    """Reliable-row compaction with wide ids (both halves)."""
+    return _compact_slice_wide(*_compact_sort_wide(live, sr, sp, sc, rank),
+                               size=size)
 
 
 def _fused_count_wide(
@@ -1100,20 +1168,30 @@ def _size_bucket(n: int) -> int:
 
 
 def _detect_overlaps_split(reads, config: BellaConfig, budget: float,
-                           wide: bool = False):
+                           wide: bool = False, force_group: int = 0):
     """Beyond-HBM fused path: k-mer-space split counting with on-device
     accumulation (the reference's --split-count, include/kmercount.hpp:
-    478-534, without its full re-scan per pass).
+    478-534).
 
     1. the code stream is chunked at read boundaries; each chunk is
        extracted (4-phase) and partitioned by hash(kmer) % splits into
        per-pass regions of one big device accumulator (so only a chunk's
-       working set plus the 13 B/position accumulator are resident),
+       working set plus the accumulator regions are resident),
     2. each pass region is sorted + counted + reliable-compacted on its
        own (region-sized sorts, the memory win),
     3. ONE packed emit+chain runs over the concatenated reliable rows
        (passes own disjoint k-mer sets, so segments stay contiguous and
        within-segment ranks remain valid).
+
+    When the full splits * region_cap accumulator would exceed the
+    budget (~500 Mbp on 16 GB), passes are processed in GROUPS sized to
+    the budget and every chunk is RE-extracted once per group — the
+    reference's actual --split-count re-scan trade
+    (include/kmercount.hpp:478-534: one full read pass per split),
+    except re-extraction here costs only device compute: each chunk's
+    2-bit packed bytes (0.25 B/position) stay resident on device across
+    groups, so nothing is re-uploaded.
+
     All capacities are bucketed; overflow is counted and logged, never
     silent."""
     k = config.kmer_size
@@ -1131,18 +1209,22 @@ def _detect_overlaps_split(reads, config: BellaConfig, budget: float,
     region_cap = _size_bucket(total // splits * 7 // 5 + (1 << 14))
     cap_cp = _size_bucket(cb * 8 // (5 * splits) + 4096)
     rel_cap = _size_bucket(max(total // 3, 1 << 16))
+    # passes resident at once: the accumulator (13 B/row) may take ~40%
+    # of the budget (count sorts run per region; the resident code
+    # stream and chunk working set take the rest)
+    group = force_group or int(
+        max(1, min(splits, int(budget * 0.4) // (region_cap * 13)))
+    )
+    n_groups = (splits + group - 1) // group
+    if n_groups > 1:
+        log("splitPassGroups",
+            f"{n_groups} groups x {group} passes (re-extraction per group)")
 
     sent = np.uint32(0xFFFFFFFF)
-    # + cap_cp tail slack: _accum_append's fixed-width window may extend
-    # past the last region without clamping (clamping would shift it).
-    # wide mode: aridpos holds rid (u32) and asc holds possc (u32).
-    akhi = jnp.full((splits * region_cap + cap_cp,), sent, u32)
-    aklo = jnp.full((splits * region_cap + cap_cp,), sent, u32)
-    aridpos = jnp.zeros((splits * region_cap + cap_cp,), u32)
-    asc = jnp.zeros((splits * region_cap + cap_cp,), u32 if wide else bool)
 
-    overflow = 0
-    off = [0] * splits
+    # host-side chunking ONCE; packed chunk bytes are uploaded once and
+    # stay resident across pass groups (0.25 B/position)
+    chunks = []  # (codes_dev, lengths_dev, offs_dev, n_reads, lo)
     lo = 0
     while lo < R:
         hi = lo + 1
@@ -1163,90 +1245,117 @@ def _detect_overlaps_split(reads, config: BellaConfig, budget: float,
             c4[:, 0] | (c4[:, 1] << 2) | (c4[:, 2] << 4) | (c4[:, 3] << 6),
             np.zeros(8, np.uint8),
         ])
-        khi, klo_a, ridpos, sc, starts = _chunk_partition(
+        chunks.append((
             jnp.asarray(cbytes), jnp.asarray(lengths_c),
-            jnp.asarray(offs_c), jnp.int32(hi - lo), jnp.int32(lo),
-            kmer_size=k, splits=splits, wide=wide,
-        )
-        st = np.asarray(starts)
-        for p in range(splits):
-            nv = int(st[p + 1] - st[p])
-            if nv <= 0:
-                continue
-            if nv > cap_cp:
-                overflow += nv - cap_cp
-                nv = cap_cp
-            room = region_cap - off[p]
-            if nv > room:
-                overflow += nv - room
-                nv = room
-            if nv <= 0:
-                continue
-            akhi, aklo, aridpos, asc = _accum_append(
-                akhi, aklo, aridpos, asc, khi, klo_a, ridpos, sc,
-                np.int32(st[p]), np.int32(nv),
-                np.int32(p * region_cap + off[p]), cap=cap_cp,
-            )
-            off[p] += nv
-        del khi, klo_a, ridpos, sc, starts
+            jnp.asarray(offs_c), hi - lo, lo,
+        ))
         lo = hi
-    if overflow:
-        log("splitRoutingOverflowDropped", overflow)
 
-    # per-pass count + reliable compaction. Compacted per-pass blocks
-    # are simply collected and concatenated — no preallocated
-    # accumulator, no dynamic-offset appends (and no fixed-width window
-    # that could clamp or clobber): pad tails between blocks are masked
-    # out of the emit by a per-row live mask.
     rel_parts = []   # (csr, csp, csc, crank, n_p) per pass
     rel_off = 0
     num_kmers = 0
     nnz_total = 0
     rel_drop = 0
-    for p in range(splits):
-        sl_lo, sl_hi = p * region_cap, (p + 1) * region_cap
-        khi_p, klo_p, rp_p, sc_p, _ = _sort_kmers(
-            akhi[sl_lo:sl_hi], aklo[sl_lo:sl_hi],
-            aridpos[sl_lo:sl_hi], asc[sl_lo:sl_hi], None,
-            pack_ridpos=True,
-        )
-        if wide:
-            reliable, sr, sp, scw, rank, nnz_p, nk_p = _count_sorted_wide(
-                khi_p, klo_p, rp_p, sc_p,
-                lower=config.lower_freq, upper=config.upper_freq,
+    overflow = 0
+    for g0 in range(0, splits, group):
+        g1 = min(g0 + group, splits)
+        # + cap_cp tail slack: _accum_append's fixed-width window may
+        # extend past the last region without clamping (clamping would
+        # shift it). wide mode: aridpos holds rid (u32) and asc holds
+        # possc (u32). One `group`-sized shape for every group (the
+        # tail group just leaves regions empty) = one compile.
+        akhi = jnp.full((group * region_cap + cap_cp,), sent, u32)
+        aklo = jnp.full((group * region_cap + cap_cp,), sent, u32)
+        aridpos = jnp.zeros((group * region_cap + cap_cp,), u32)
+        asc = jnp.zeros((group * region_cap + cap_cp,), u32 if wide else bool)
+
+        off = [0] * (g1 - g0)
+        for codes_dev, lengths_dev_c, offs_dev, nr_c, lo_c in chunks:
+            khi, klo_a, ridpos, sc, starts = _chunk_partition(
+                codes_dev, lengths_dev_c, offs_dev,
+                jnp.int32(nr_c), jnp.int32(lo_c),
+                kmer_size=k, splits=splits, wide=wide,
             )
-        else:
-            reliable, sr, sp, rank, nnz_p, nk_p = _count_sorted(
-                khi_p, klo_p, rp_p, sc_p, None,
-                lower=config.lower_freq, upper=config.upper_freq,
-                pack_ridpos=True,
+            st = np.asarray(starts)
+            for pi, p in enumerate(range(g0, g1)):
+                nv = int(st[p + 1] - st[p])
+                if nv <= 0:
+                    continue
+                if nv > cap_cp:
+                    overflow += nv - cap_cp
+                    nv = cap_cp
+                room = region_cap - off[pi]
+                if nv > room:
+                    overflow += nv - room
+                    nv = room
+                if nv <= 0:
+                    continue
+                akhi, aklo, aridpos, asc = _accum_append(
+                    akhi, aklo, aridpos, asc, khi, klo_a, ridpos, sc,
+                    np.int32(st[p]), np.int32(nv),
+                    np.int32(pi * region_cap + off[pi]), cap=cap_cp,
+                )
+                off[pi] += nv
+            del khi, klo_a, ridpos, sc, starts
+
+        # per-pass count + reliable compaction. Compacted per-pass
+        # blocks are simply collected and concatenated — no
+        # preallocated accumulator, no dynamic-offset appends (and no
+        # fixed-width window that could clamp or clobber): pad tails
+        # between blocks are masked out of the emit by a per-row live
+        # mask.
+        for pi in range(g1 - g0):
+            sl_lo, sl_hi = pi * region_cap, (pi + 1) * region_cap
+            # wide rows carry possc as their own operand (17 bits — no
+            # room in the key word), so only the 16-bit layout packs the
+            # strand bit into the sort key (3 operands instead of 4)
+            khi_p, klo_p, rp_p, sc_p, _ = _sort_kmers(
+                akhi[sl_lo:sl_hi], aklo[sl_lo:sl_hi],
+                aridpos[sl_lo:sl_hi], asc[sl_lo:sl_hi], None,
+                pack_ridpos=True, pack_sc=not wide,
             )
-        n_p = int(nnz_p)
-        num_kmers += int(nk_p)
-        nnz_total += n_p
-        if n_p == 0:
-            continue
-        size_p = min(_size_bucket(max(n_p, 1 << 14)), region_cap)
-        if wide:
-            csr, csp, csc, crank = _compact_reliable_wide(
-                reliable, sr, sp, scw, rank, size_p
-            )
-        else:
-            csr, csp, csc, crank = _compact_reliable(
-                reliable, sr, sp, sc_p, rank, size_p
-            )
-        nv = min(n_p, rel_cap - rel_off)
-        if nv < n_p:
-            rel_drop += n_p - nv
-        if nv <= 0:
-            continue
-        rel_parts.append((csr, csp, csc, crank, nv))
-        rel_off += nv
+            if wide:
+                reliable, sr, sp, scw, rank, nnz_p, nk_p = _count_sorted_wide(
+                    khi_p, klo_p, rp_p, sc_p,
+                    lower=config.lower_freq, upper=config.upper_freq,
+                )
+            else:
+                reliable, sr, sp, scw, rank, nnz_p, nk_p = _count_sorted(
+                    khi_p, klo_p, rp_p, sc_p, None,
+                    lower=config.lower_freq, upper=config.upper_freq,
+                    pack_ridpos=True, pack_sc=True,
+                )
+            # compaction sort dispatched before the nnz_p readback blocks
+            # (see _compact_sort): the sort overlaps the relay round trip
+            if wide:
+                comp = _compact_sort_wide(reliable, sr, sp, scw, rank)
+            else:
+                comp = _compact_sort(reliable, sr, sp, scw, rank)
+            n_p = int(nnz_p)
+            num_kmers += int(nk_p)
+            nnz_total += n_p
+            if n_p == 0:
+                continue
+            size_p = min(_size_bucket(max(n_p, 1 << 14)), region_cap)
+            if wide:
+                csr, csp, csc, crank = _compact_slice_wide(*comp, size=size_p)
+            else:
+                csr, csp, csc, crank = _compact_slice(*comp, size=size_p)
+            nv = min(n_p, rel_cap - rel_off)
+            if nv < n_p:
+                rel_drop += n_p - nv
+            if nv <= 0:
+                continue
+            rel_parts.append((csr, csp, csc, crank, nv))
+            rel_off += nv
+        # the accumulator is dead weight between groups and after the
+        # last one; free it before the next allocation / the emit stages
+        del akhi, aklo, aridpos, asc
+    if overflow:
+        log("splitRoutingOverflowDropped", overflow)
     if rel_drop:
         log("splitReliableOverflowDropped", rel_drop)
-    # the 13 B/position partition accumulator is dead weight from here;
-    # free it before the emit/chain stages allocate the candidate stream
-    del akhi, aklo, aridpos, asc
+    del chunks
     if rel_off == 0:
         return CandidatePairs.empty(), num_kmers, 0
 
@@ -1303,14 +1412,18 @@ def detect_overlaps(reads, config: BellaConfig):
     if m * 100 > budget:
         # beyond the single-pass device budget (~100 device bytes per
         # k-mer position across the count sort + emit/chain programs):
-        # use the fused split-count path while the 13 B/position
-        # accumulator (+ slack) still fits, else the host-staged path
-        # (the reference's column-block staging, overlap.hpp:682-710)
+        # use the fused split-count path — its accumulator groups passes
+        # to the budget and re-extracts per group (the reference's
+        # --split-count re-scan), so the binding constraint is the final
+        # emit/chain over the reliable rows (~10 B/position at typical
+        # reliable densities; reliable overflow is capped and logged,
+        # never silent). Beyond that, the host-staged path (the
+        # reference's column-block staging, overlap.hpp:682-710).
         max_len = int(reads.lengths.max()) if reads.num_reads else 0
         common = (
             max_len <= 0xFFFF and config.bin_size >= 3
             and not config.use_hopc and k <= 28
-            and len(reads.codes) * 30 <= budget
+            and len(reads.codes) * 10 <= budget
         )
         p16 = reads.num_reads <= 0xFFFF and config.upper_freq <= 255
         wide_ok = (
@@ -1378,15 +1491,18 @@ def detect_overlaps(reads, config: BellaConfig):
             use_hopc=config.use_hopc,
             phased=phased,
         )
+        # dispatch the compaction sort BEFORE blocking on the nnz
+        # readback: the sort (no size dependence) then runs on device
+        # while the ~27 ms relay round trip is in flight
+        comp = _compact_sort_wide(reliable, sr, sp, sc, rank)
+        del reliable, sr, sp, sc, rank
         n = int(nnz)
         if n == 0:
             return CandidatePairs.empty(), int(num_kmers), 0
         lengths_dev = jnp.asarray(reads.lengths.astype(np.int32))
-        size = min(_size_bucket(max(n, 1 << 14)), int(sr.shape[0]))
-        csr, csp, csc, crank = _compact_reliable_wide(
-            reliable, sr, sp, sc, rank, size
-        )
-        del reliable, sr, sp, sc, rank
+        size = min(_size_bucket(max(n, 1 << 14)), int(comp[0].shape[0]))
+        csr, csp, csc, crank = _compact_slice_wide(*comp, size=size)
+        del comp
         h, v, k3, pv, _n_cand = _fused_emit_wide(
             nnz.astype(jnp.int32), csr, csp, csc, crank, lengths_dev,
             kmer_size=k, upper=config.upper_freq, bin_size=config.bin_size,
@@ -1417,17 +1533,21 @@ def detect_overlaps(reads, config: BellaConfig):
         # shapes, while the separate programs compile in ~1 min each.
         # Reliable rows are compacted to a pow2-bucket prefix first so the
         # emit/sort/scan stages run on ~nnz rows, not all k-mer positions.
+        # The compaction sort dispatches BEFORE the nnz readback blocks,
+        # so the sort and the relay round trip overlap; dropping the
+        # full-stream references lets the backend free ~14 bytes/position
+        # of HBM before the emit/chain stages allocate.
+        comp = _compact_sort(live, sr, sp, sc, rank)
+        del live, sr, sp, sc, rank
         n = int(nnz)
         if n == 0:
             return CandidatePairs.empty(), int(num_kmers), 0
         # _size_bucket (<=12.5% padding) instead of pow2 (up to 2x): the
         # emit and chain stages run on (upper-1) * size rows, so compact
         # padding multiplies directly into the two big sorts
-        size = min(_size_bucket(max(n, 1 << 14)), int(sr.shape[0]))
-        csr, csp, csc, crank = _compact_reliable(live, sr, sp, sc, rank, size)
-        # drop the full-stream references so the backend can free ~14
-        # bytes/position of HBM before the emit/chain stages allocate
-        del live, sr, sp, sc, rank
+        size = min(_size_bucket(max(n, 1 << 14)), int(comp[0].shape[0]))
+        csr, csp, csc, crank = _compact_slice(*comp, size=size)
+        del comp
         hv, k3, pv, _n_cand = _fused_emit_packed(
             nnz.astype(jnp.int32), csr, csp, csc, crank, lengths_dev,
             kmer_size=k, upper=config.upper_freq, bin_size=config.bin_size,

@@ -31,14 +31,13 @@ def t(label, f, *a, **kw):
 cbj, lj, oj = jnp.asarray(cb), jnp.asarray(lengths), jnp.asarray(offsets)
 nr = jnp.int32(reads.num_reads)
 ext = t("extract(phased)", pp._extract_kmers_phased, cbj, lj, oj, nr, kmer_size=k, pack_ridpos=True)
-srt = t("sort_kmers", pp._sort_kmers, *ext, pack_ridpos=True)
-cnt = t("count_sorted", pp._count_sorted, *srt, lower=2, upper=8, pack_ridpos=True)
-live, sr, sp, rank, nnz, nk = cnt
+srt = t("sort_kmers", pp._sort_kmers, *ext, pack_ridpos=True, pack_sc=True)
+cnt = t("count_sorted", pp._count_sorted, *srt, lower=2, upper=8, pack_ridpos=True, pack_sc=True)
+live, sr, sp, sc, rank, nnz, nk = cnt
 n = int(nnz)
 size = min(pp._size_bucket(max(n,1<<14)), int(sr.shape[0]))
-# note count_sorted returns (reliable, sr, sp, rank, nnz, num_kmers); need sc from srt
-sc = srt[3]
-comp = t("compact_reliable", pp._compact_reliable, live, sr, sp, sc, rank, size)
+comp2 = t("compact_sort", pp._compact_sort, live, sr, sp, sc, rank)
+comp = t("compact_slice", pp._compact_slice, *comp2, size=size)
 ld = jnp.asarray(reads.lengths.astype(np.int32))
 emit = t("emit_packed", pp._fused_emit_packed, nnz.astype(jnp.int32), *comp, ld, kmer_size=k, upper=8, bin_size=500)
 hv,k3,pv,ncand = emit

@@ -177,3 +177,37 @@ def test_split_fused_matches_fused():
     # the public driver routes through the split path at that budget
     drv_pairs, drv_nk, drv_nnz = detect_overlaps(reads, cfg)
     assert drv_nk == ref_nk and drv_pairs.num_pairs == ref_pairs.num_pairs
+
+
+def test_split_multipass_groups_match_fused():
+    """Grouped multipass split (accumulator smaller than splits *
+    region_cap: chunks re-extracted once per pass group — the
+    reference's --split-count re-scan, include/kmercount.hpp:478-534)
+    produces exactly the fused path's pairs."""
+    g = random_genome(12_000, seed=55)
+    reads, _ = sample_reads(
+        g, 60, mean_len=900, min_len=300, error_rate=0.08, seed=56,
+        circular=False,
+    )
+    ref_pairs, ref_nk, ref_nnz = detect_overlaps(reads, BellaConfig())
+    m = len(reads.codes)
+    cfg = BellaConfig(total_memory_mb=m * 50 / 1e6)
+    from bella_tpu.overlap import pairs as pp
+
+    split_pairs, nk, nnz = pp._detect_overlaps_split(
+        reads, cfg, cfg.total_memory_mb * 1e6, force_group=1
+    )
+    assert nk == ref_nk and nnz == ref_nnz
+    assert split_pairs.num_pairs == ref_pairs.num_pairs
+
+    def key(p):
+        order = np.lexsort((p.read_v, p.read_h))
+        return {
+            f: getattr(p, f)[order]
+            for f in ("read_h", "read_v", "pos_h", "pos_v", "count",
+                      "matches", "overlap_est", "seed_rc")
+        }
+
+    a, b = key(split_pairs), key(ref_pairs)
+    for f in a:
+        assert (a[f] == b[f]).all(), f
