@@ -475,6 +475,91 @@ def _extract_kmers_phased(
     return khi, klo, p1, sc, p2
 
 
+_CHUNK_BASES = 3_000_000  # upload/extract pipeline quantum (~0.75 MB packed)
+
+
+@partial(jax.jit, static_argnames=("kmer_size", "pack_ridpos"))
+def _extract_chunk(codes_bytes, lengths, offsets, n_real, rid_base,
+                   kmer_size: int, pack_ridpos: bool):
+    """Chunked phase 1a: 4-phase extraction of one read-aligned chunk
+    with global read ids (rid_base offset). All chunks share ONE
+    compiled shape (codes padded to the chunk bucket, read count padded
+    with zero-length reads that own no positions), so the host can
+    pipeline chunk i+1's upload with chunk i's extraction — the relay
+    moves ~25 MB/s, so an unpipelined upload is pure wall-clock."""
+    u32 = jnp.uint32
+    if pack_ridpos:
+        khi, klo, ridpos, sc, _ = _extract_kmers_phased(
+            codes_bytes, lengths, offsets, n_real,
+            kmer_size=kmer_size, pack_ridpos=True,
+        )
+        # chunk-local -> global ids; phantom/pad rows are sentinel-keyed,
+        # their payloads are never read (same contract as _chunk_partition)
+        ridpos = ridpos + (rid_base.astype(u32) << u32(16))
+        return khi, klo, ridpos, sc, None
+    khi, klo, rid, sc, pos = _extract_kmers_phased(
+        codes_bytes, lengths, offsets, n_real,
+        kmer_size=kmer_size, pack_ridpos=False,
+    )
+    return khi, klo, rid + rid_base, sc, pos
+
+
+def _extract_stream_chunked(reads, kmer_size: int, pack_ridpos: bool):
+    """Host pipeline over read-aligned chunks: pack chunk i+1 on host
+    while chunk i uploads and extracts on device. Returns the
+    concatenated (khi, klo, p1, sc, p2) occurrence stream (p2 None when
+    pack_ridpos)."""
+    offsets = reads.offsets.astype(np.int64)
+    R = reads.num_reads
+    total = len(reads.codes)
+    max_len = int(reads.lengths.max()) if R else 0
+    nchunks = max(int(np.ceil(total / _CHUNK_BASES)), 2)
+    cb = _size_bucket(max(-(-total // nchunks), max_len + 8, 1 << 16))
+    cb = ((cb + 3) // 4) * 4
+    bounds = [0]
+    while bounds[-1] < R:
+        lo = bounds[-1]
+        hi = lo + 1
+        while hi < R and offsets[hi + 1] - offsets[lo] <= cb:
+            hi += 1
+        bounds.append(hi)
+    nr_max = max(b - a for a, b in zip(bounds, bounds[1:]))
+    NR = _size_bucket(nr_max + 1)
+    parts = []
+    for lo, hi in zip(bounds, bounds[1:]):
+        span = int(offsets[hi] - offsets[lo])
+        codes_c = reads.codes[int(offsets[lo]):int(offsets[hi])]
+        lengths_c = reads.lengths[lo:hi].astype(np.int32)
+        offs_c = (offsets[lo:hi + 1] - offsets[lo]).astype(np.int32)
+        if span < cb:  # phantom read pads the chunk to the bucket
+            codes_c = np.concatenate(
+                [codes_c, np.zeros(cb - span, codes_c.dtype)]
+            )
+            lengths_c = np.append(lengths_c, np.int32(cb - span))
+            offs_c = np.append(offs_c, np.int32(cb))
+        if len(lengths_c) < NR:  # zero-length reads pad the read count
+            pad = NR - len(lengths_c)
+            lengths_c = np.concatenate([lengths_c, np.zeros(pad, np.int32)])
+            offs_c = np.concatenate(
+                [offs_c, np.full(pad, offs_c[-1], np.int32)]
+            )
+        c4 = codes_c.reshape(-1, 4).astype(np.uint8)
+        cbytes = np.concatenate([
+            c4[:, 0] | (c4[:, 1] << 2) | (c4[:, 2] << 4) | (c4[:, 3] << 6),
+            np.zeros(8, np.uint8),
+        ])
+        parts.append(_extract_chunk(
+            jnp.asarray(cbytes), jnp.asarray(lengths_c),
+            jnp.asarray(offs_c), jnp.int32(hi - lo), jnp.int32(lo),
+            kmer_size=kmer_size, pack_ridpos=pack_ridpos,
+        ))
+    return tuple(
+        None if parts[0][i] is None
+        else jnp.concatenate([p[i] for p in parts])
+        for i in range(5)
+    )
+
+
 @partial(jax.jit, static_argnames=("kmer_size", "splits", "wide"))
 def _chunk_partition(
     codes_bytes, lengths, offsets, n_real, rid_base,
@@ -824,15 +909,16 @@ def _chain_sort_packed(hv, k3, pv):
 
 def _chain_packed(
     hv, k3, pv, read_lengths, kmer_size: int, bin_size: int,
-    live_rows=None,
+    live_rows=None, lengths_np=None,
 ):
-    """Packed sort + segmented chain (see _fused_emit_packed).
+    """Packed sort + fused chain+compact (see _fused_emit_packed):
+    returns CandidatePairs directly.
 
     live_rows (host int, from the emit stage) bounds the live candidate
-    rows: the sort pushes sentinels to the tail, so the scans and the
-    output dict — a full-stream materialisation — only cover the live
-    prefix (bucketed). At 100M+-row streams this is the difference
-    between fitting HBM and not."""
+    rows: the sort pushes sentinels to the tail, so the scans — a
+    full-stream materialisation — only cover the live prefix (bucketed).
+    At 100M+-row streams this is the difference between fitting HBM and
+    not."""
     hv, k3, pv = _chain_sort_packed(hv, k3, pv)
     if callable(live_rows):
         # the host round trip for the live count overlaps the sort
@@ -842,8 +928,9 @@ def _chain_packed(
         lim = min(_size_bucket(max(int(live_rows), 1 << 10)), hv.shape[0])
         if lim < hv.shape[0]:
             hv, k3, pv = hv[:lim], k3[:lim], pv[:lim]
-    return _chain_scans_packed(
-        hv, k3, pv, read_lengths, kmer_size=kmer_size, bin_size=bin_size
+    return _finish_chain(
+        (hv, k3, pv), read_lengths, lengths_np, kmer_size, bin_size,
+        wide=False,
     )
 
 
@@ -1060,9 +1147,9 @@ def _chain_sort_wide(h, v, k3, pv):
 
 
 def _chain_wide(h, v, k3, pv, read_lengths, kmer_size: int, bin_size: int,
-                live_rows=None):
-    """Wide-id sort + segmented chain (live-prefix trimming as in
-    _chain_packed)."""
+                live_rows=None, lengths_np=None):
+    """Wide-id sort + fused chain+compact (live-prefix trimming as in
+    _chain_packed): returns CandidatePairs directly."""
     h, v, k3, pv = _chain_sort_wide(h, v, k3, pv)
     if callable(live_rows):
         live_rows = live_rows()
@@ -1070,8 +1157,9 @@ def _chain_wide(h, v, k3, pv, read_lengths, kmer_size: int, bin_size: int,
         lim = min(_size_bucket(max(int(live_rows), 1 << 10)), h.shape[0])
         if lim < h.shape[0]:
             h, v, k3, pv = h[:lim], v[:lim], k3[:lim], pv[:lim]
-    return _chain_scans_wide(
-        h, v, k3, pv, read_lengths, kmer_size=kmer_size, bin_size=bin_size
+    return _finish_chain(
+        (h, v, k3, pv), read_lengths, lengths_np, kmer_size, bin_size,
+        wide=True,
     )
 
 
@@ -1124,6 +1212,146 @@ def _chain_scans_wide(h, v, k3, pv, read_lengths, kmer_size: int, bin_size: int)
         seed_mask=seed_mask, read_h=hi, read_v=vi, cm=cm,
         pos_h=pos_h, pos_v=pos_v, overlap_est=ov, seed_rc=flip,
     )
+
+
+# ----------------------------------------------------------------------
+# Fused chain finish: scans + packed readback + seed compaction in ONE
+# program. Replaces the former scans -> full 7-column dict -> separate
+# gather -> 6-row readback tail for the packed/wide single-chip paths:
+#   * only 3 (packed) / 4 (wide) u32 columns ever materialise full-stream,
+#   * the pair-count readback overlaps the gather executing on device,
+#   * the host->device readback shrinks to 3-4 rows x num (the relay
+#     moves ~25 MB/s, so readback bytes are wall-clock),
+#   * the overlap estimate is derived data — recomputed on host from
+#     (flip, pos, lengths) with the exact device int32 formula.
+# Row packing: cm2 = flip<<31 | count16<<13 | support13 (support is
+# bounded by max_len/(k+1) < 2^13 under 16-bit positions); poshv =
+# pos_h<<16 | pos_v.
+# ----------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("kmer_size", "bin_size", "out_size",
+                                   "wide"))
+def _chain_finish(ops, read_lengths, kmer_size: int, bin_size: int,
+                  out_size: int, wide: bool):
+    """Device half: chain scans (inlined) + pack + compact to a stacked
+    (3|4, out_size) int32 block plus the seed count."""
+    u32 = jnp.uint32
+    if wide:
+        h, v, k3, pv = ops
+        out = _chain_scans_wide(
+            h, v, k3, pv, read_lengths, kmer_size=kmer_size,
+            bin_size=bin_size,
+        )
+        id_cols = (out["read_h"].astype(u32), out["read_v"].astype(u32))
+    else:
+        hv, k3, pv = ops
+        out = _chain_scans_packed(
+            hv, k3, pv, read_lengths, kmer_size=kmer_size, bin_size=bin_size
+        )
+        id_cols = (out["hv"],)
+    seed = out["seed_mask"]
+    nseed = jnp.sum(seed.astype(jnp.int32))
+    cm = out["cm"]
+    cm2 = (
+        (out["seed_rc"].astype(u32) << u32(31))
+        | ((cm >> u32(16)) << u32(13))
+        | jnp.minimum(cm & u32(0xFFFF), u32(0x1FFF))
+    )
+    poshv = (out["pos_h"].astype(u32) << u32(16)) | out["pos_v"].astype(u32)
+    cols = id_cols + (cm2, poshv)
+    n = seed.shape[0]
+    if out_size <= (1 << 18):
+        # few seeds: single-operand index sort + small-output gathers
+        # (see _gather_seeds for the measured trade)
+        key = ((~seed).astype(u32) << u32(31)) | jax.lax.iota(u32, n)
+        skey = jax.lax.sort(key)
+        idx = (skey[:out_size] & u32(0x7FFFFFFF)).astype(jnp.int32)
+        rows = [jnp.take(c, idx, axis=0) for c in cols]
+    else:
+        dead = (~seed).astype(u32)
+        iota = jax.lax.iota(jnp.int32, n)
+        sorted_all = jax.lax.sort((dead, iota) + cols, num_keys=2)
+        rows = [a[:out_size] for a in sorted_all[2:]]
+    return jnp.stack([r.astype(jnp.int32) for r in rows]), nseed
+
+
+@partial(jax.jit, static_argnames=("size",))
+def _slice_pairs(stacked, size: int):
+    """Trim the speculative compaction block to the pair-count bucket
+    before the relay transfer (readback bytes are wall-clock)."""
+    return stacked[:, :size]
+
+
+def _unpack_pairs(arr, lengths_np, kmer_size: int, wide: bool
+                  ) -> CandidatePairs:
+    """Host half: unpack the (3|4, num) block; recompute the overlap
+    estimate with the device formula (int32, chain.hpp:48-71)."""
+    if wide:
+        read_h = arr[0].astype(np.int32)
+        read_v = arr[1].astype(np.int32)
+        cm2 = arr[2].view(np.uint32)
+        poshv = arr[3].view(np.uint32)
+    else:
+        hv = arr[0].view(np.uint32)
+        read_h = (hv >> 16).astype(np.int32)
+        read_v = (hv & 0xFFFF).astype(np.int32)
+        cm2 = arr[1].view(np.uint32)
+        poshv = arr[2].view(np.uint32)
+    pos_h = (poshv >> 16).astype(np.int32)
+    pos_v = (poshv & 0xFFFF).astype(np.int32)
+    flip = (cm2 >> 31) != 0
+    count = ((cm2 >> 13) & 0xFFFF).astype(np.int32)
+    matches = (cm2 & 0x1FFF).astype(np.int32)
+    lens = np.asarray(lengths_np, dtype=np.int32)
+    k = np.int32(kmer_size)
+    len_h = lens[read_h]
+    len_v = lens[read_v]
+    beg_h = np.where(flip, len_h - pos_h - k, pos_h)
+    ov = (
+        np.minimum(beg_h, pos_v)
+        + np.minimum(len_h - (beg_h + k), len_v - (pos_v + k))
+        + k
+    ).astype(np.int32)
+    return CandidatePairs(
+        read_h, read_v, pos_h, pos_v, count, matches, ov, flip
+    )
+
+
+def _finish_chain(ops, read_lengths, lengths_np, kmer_size: int,
+                  bin_size: int, wide: bool) -> CandidatePairs:
+    """Host driver for the fused finish. The compaction is SPECULATIVE
+    at 1/32 of the candidate stream (pair density on long-read overlap
+    graphs runs 1/64..1/140): the block is dispatched before the seed
+    count is known, so the count's relay round trip overlaps the gather;
+    a denser-than-1/32 stream retries through the unfused path (logged,
+    never wrong)."""
+    n = int(ops[0].shape[0])
+    out_size = min(_size_bucket(max(n >> 5, 1 << 14)), n)
+    stacked, nseed = _chain_finish(
+        ops, read_lengths, kmer_size=kmer_size, bin_size=bin_size,
+        out_size=out_size, wide=wide,
+    )
+    num = int(nseed)
+    if num == 0:
+        return CandidatePairs.empty()
+    if num > out_size:
+        log("seedCompactionRetry",
+            f"{num} seeds exceed the {out_size}-row speculative block")
+        if wide:
+            out = _chain_scans_wide(
+                *ops, read_lengths, kmer_size=kmer_size, bin_size=bin_size
+            )
+        else:
+            out = _chain_scans_packed(
+                *ops, read_lengths, kmer_size=kmer_size, bin_size=bin_size
+            )
+        return _compact(out)
+    size2 = min(1 << max(10, (num - 1).bit_length()), out_size)
+    arr = np.asarray(_slice_pairs(stacked, size2))[:, :num]
+    if lengths_np is None:
+        lengths_np = np.asarray(read_lengths)
+    return _unpack_pairs(arr, lengths_np, kmer_size, wide=wide)
 
 
 @partial(jax.jit, static_argnames=("kmer_size",))
@@ -1378,9 +1606,10 @@ def _detect_overlaps_split(reads, config: BellaConfig, budget: float,
             kmer_size=k, upper=config.upper_freq, bin_size=config.bin_size,
         )
         del asr, asp, ascr, arank, live
-        out = _chain_wide(
+        pairs = _chain_wide(
             h, v, k3, pv, lengths_dev, kmer_size=k,
             bin_size=config.bin_size, live_rows=lambda: int(n_cand),
+            lengths_np=reads.lengths,
         )
         del h, v, k3, pv
     else:
@@ -1389,12 +1618,11 @@ def _detect_overlaps_split(reads, config: BellaConfig, budget: float,
             kmer_size=k, upper=config.upper_freq, bin_size=config.bin_size,
         )
         del asr, asp, ascr, arank, live
-        out = _chain_packed(
+        pairs = _chain_packed(
             hv, k3, pv, lengths_dev, kmer_size=k, bin_size=config.bin_size,
-            live_rows=lambda: int(n_cand),
+            live_rows=lambda: int(n_cand), lengths_np=reads.lengths,
         )
         del hv, k3, pv
-    pairs = _compact(out)
     return pairs, num_kmers, nnz_total
 
 
@@ -1438,31 +1666,13 @@ def detect_overlaps(reads, config: BellaConfig):
         tri = build_reliable_triples(reads, config)
         pairs = generate_candidates(tri, reads.lengths, config)
         return pairs, tri.num_kmers, tri.nnz
-    # pad the code stream to a bucketed size with a phantom read whose
-    # occurrences are masked invalid (stable jit shapes across datasets)
     total = len(reads.codes)
-    total_p = _size_bucket(total)
-    codes = reads.codes
-    lengths = reads.lengths.astype(np.int32)
-    offsets = reads.offsets.astype(np.int32)
-    if total_p > total:
-        codes = np.concatenate([codes, np.zeros(total_p - total, codes.dtype)])
-        lengths = np.append(lengths, np.int32(total_p - total))
-        offsets = np.append(offsets, np.int32(total_p))
     # 2-bit pack for the upload (bucket sizes are multiples of 4): 4x
     # smaller host->device transfer, consumed by the 4-phase extractor
     # (see _extract_kmers_phased) so no padded unpack buffer ever
     # materialises. HOPC and k > 28 fall back to a raw upload + the
     # per-position extractor.
     phased = not config.use_hopc and k <= 28
-    if phased:
-        c4 = codes.reshape(-1, 4).astype(np.uint8)
-        codes_packed = np.concatenate([
-            c4[:, 0] | (c4[:, 1] << 2) | (c4[:, 2] << 4) | (c4[:, 3] << 6),
-            np.zeros(8, np.uint8),  # window pad (8-byte sliding u64)
-        ])
-    else:
-        codes_packed = codes.astype(np.int8)
     # packed 3-operand sort path when ids/positions fit 16 bits (the
     # reference caps positions at 16 bits too, src/main.cpp:193)
     max_len = int(reads.lengths.max()) if reads.num_reads else 0
@@ -1479,18 +1689,54 @@ def detect_overlaps(reads, config: BellaConfig):
         not packed and reads.num_reads < (1 << 31) - 1 and max_len <= 0xFFFF
         and config.bin_size >= 3 and config.upper_freq <= (1 << 15)
     )
+    # big corpora on the phased path: chunked extraction pipelines the
+    # host packing + relay upload of chunk i+1 with chunk i's device
+    # extraction (one compiled shape across chunks)
+    chunked = phased and (packed or wide) and total > 2 * _CHUNK_BASES
+    if not chunked:
+        # pad the code stream to a bucketed size with a phantom read
+        # whose occurrences are masked invalid (stable jit shapes)
+        total_p = _size_bucket(total)
+        codes = reads.codes
+        lengths = reads.lengths.astype(np.int32)
+        offsets = reads.offsets.astype(np.int32)
+        if total_p > total:
+            codes = np.concatenate(
+                [codes, np.zeros(total_p - total, codes.dtype)]
+            )
+            lengths = np.append(lengths, np.int32(total_p - total))
+            offsets = np.append(offsets, np.int32(total_p))
+        if phased:
+            c4 = codes.reshape(-1, 4).astype(np.uint8)
+            codes_packed = np.concatenate([
+                c4[:, 0] | (c4[:, 1] << 2) | (c4[:, 2] << 4) | (c4[:, 3] << 6),
+                np.zeros(8, np.uint8),  # window pad (8-byte sliding u64)
+            ])
+        else:
+            codes_packed = codes.astype(np.int8)
     if wide:
-        reliable, sr, sp, sc, rank, nnz, num_kmers = _fused_count_wide(
-            jnp.asarray(codes_packed),
-            jnp.asarray(lengths),
-            jnp.asarray(offsets),
-            n_real=jnp.int32(reads.num_reads),
-            kmer_size=k,
-            lower=config.lower_freq,
-            upper=config.upper_freq,
-            use_hopc=config.use_hopc,
-            phased=phased,
-        )
+        if chunked:
+            khi, klo, rid, sc0, pos = _extract_stream_chunked(
+                reads, k, pack_ridpos=False
+            )
+            khi, klo, rid, possc = _sort_kmers_wide(khi, klo, rid, pos, sc0)
+            reliable, sr, sp, sc, rank, nnz, num_kmers = _count_sorted_wide(
+                khi, klo, rid, possc,
+                lower=config.lower_freq, upper=config.upper_freq,
+            )
+            del khi, klo, rid, possc, sc0, pos
+        else:
+            reliable, sr, sp, sc, rank, nnz, num_kmers = _fused_count_wide(
+                jnp.asarray(codes_packed),
+                jnp.asarray(lengths),
+                jnp.asarray(offsets),
+                n_real=jnp.int32(reads.num_reads),
+                kmer_size=k,
+                lower=config.lower_freq,
+                upper=config.upper_freq,
+                use_hopc=config.use_hopc,
+                phased=phased,
+            )
         # dispatch the compaction sort BEFORE blocking on the nnz
         # readback: the sort (no size dependence) then runs on device
         # while the ~27 ms relay round trip is in flight
@@ -1507,25 +1753,40 @@ def detect_overlaps(reads, config: BellaConfig):
             nnz.astype(jnp.int32), csr, csp, csc, crank, lengths_dev,
             kmer_size=k, upper=config.upper_freq, bin_size=config.bin_size,
         )
-        out = _chain_wide(
+        pairs = _chain_wide(
             h, v, k3, pv, lengths_dev, kmer_size=k,
             bin_size=config.bin_size, live_rows=lambda: int(_n_cand),
+            lengths_np=reads.lengths,
         )
         del h, v, k3, pv, csr, csp, csc, crank
-        pairs = _compact(out)
         return pairs, int(num_kmers), int(nnz)
-    live, sr, sp, sc, rank, nnz, num_kmers = _fused_count(
-        jnp.asarray(codes_packed),
-        jnp.asarray(lengths),
-        jnp.asarray(offsets),
-        n_real=jnp.int32(reads.num_reads),
-        kmer_size=k,
-        lower=config.lower_freq,
-        upper=config.upper_freq,
-        use_hopc=config.use_hopc,
-        pack_ridpos=packed,
-        phased=phased,
-    )
+    if chunked:
+        pack_sc = packed and k <= 31
+        khi, klo, p1, sc0, p2 = _extract_stream_chunked(
+            reads, k, pack_ridpos=packed
+        )
+        khi, klo, p1, sc0, p2 = _sort_kmers(
+            khi, klo, p1, sc0, p2, pack_ridpos=packed, pack_sc=pack_sc
+        )
+        live, sr, sp, sc, rank, nnz, num_kmers = _count_sorted(
+            khi, klo, p1, sc0, p2,
+            lower=config.lower_freq, upper=config.upper_freq,
+            pack_ridpos=packed, pack_sc=pack_sc,
+        )
+        del khi, klo, p1, sc0, p2
+    else:
+        live, sr, sp, sc, rank, nnz, num_kmers = _fused_count(
+            jnp.asarray(codes_packed),
+            jnp.asarray(lengths),
+            jnp.asarray(offsets),
+            n_real=jnp.int32(reads.num_reads),
+            kmer_size=k,
+            lower=config.lower_freq,
+            upper=config.upper_freq,
+            use_hopc=config.use_hopc,
+            pack_ridpos=packed,
+            phased=phased,
+        )
     lengths_dev = jnp.asarray(reads.lengths.astype(np.int32))
     if packed:
         # separate dispatches, not one merged jit: the merged
@@ -1552,16 +1813,16 @@ def detect_overlaps(reads, config: BellaConfig):
             nnz.astype(jnp.int32), csr, csp, csc, crank, lengths_dev,
             kmer_size=k, upper=config.upper_freq, bin_size=config.bin_size,
         )
-        # the chain's scans and output dict cover only the live prefix
-        # of the sorted stream — the full-stream dict is the memory hog
-        # at 100M+-row streams, and shorter scans are faster everywhere;
+        # the chain's scans cover only the live prefix of the sorted
+        # stream — the full-stream materialisation is the memory hog at
+        # 100M+-row streams, and shorter scans are faster everywhere;
         # the deferred live-count sync overlaps the sort dispatch
-        out = _chain_packed(
+        pairs = _chain_packed(
             hv, k3, pv, lengths_dev, kmer_size=k,
             bin_size=config.bin_size, live_rows=lambda: int(_n_cand),
+            lengths_np=reads.lengths,
         )
         del hv, k3, pv, csr, csp, csc, crank
-        pairs = _compact(out)
         return pairs, int(num_kmers), int(nnz)
     else:
         h, v, bin_id, pos_h, pos_v, flip, ov = _fused_emit(
@@ -1616,12 +1877,12 @@ def generate_candidates(
             upper=config.upper_freq,
             bin_size=config.bin_size,
         )
-        out = _chain_packed(
+        return _chain_packed(
             hv, k3, pv, lengths,
             kmer_size=config.kmer_size, bin_size=config.bin_size,
             live_rows=lambda: int(n_cand),
+            lengths_np=read_lengths,
         )
-        return _compact(out)
     wide = (
         not packed and n_reads < (1 << 31) - 1 and max_len <= 0xFFFF
         and config.bin_size >= 3 and config.upper_freq <= (1 << 15)
@@ -1643,12 +1904,12 @@ def generate_candidates(
             upper=config.upper_freq,
             bin_size=config.bin_size,
         )
-        out = _chain_wide(
+        return _chain_wide(
             h, v, k3, pv, lengths,
             kmer_size=config.kmer_size, bin_size=config.bin_size,
             live_rows=lambda: int(n_cand),
+            lengths_np=read_lengths,
         )
-        return _compact(out)
     expanded = triples.nnz * (config.upper_freq - 1)
     budget_rows = int(config.effective_memory_mb * 1e6 / _ROW_BYTES)
     if expanded <= budget_rows:

@@ -36,6 +36,43 @@ def test_fused_matches_modular():
         assert mm[k] == mf[k], (k, mm[k], mf[k])
 
 
+def test_chunked_extract_matches_unchunked(monkeypatch):
+    """The pipelined chunked upload+extract path (reads split at read
+    boundaries, zero-length read-count padding, global rid offsets)
+    yields the exact pairs of the single-upload path."""
+    from bella_tpu.overlap import pairs as pp
+
+    g = random_genome(9000, seed=35)
+    reads, _ = sample_reads(
+        g, 40, mean_len=1100, min_len=500, error_rate=0.12, seed=36,
+        circular=False,
+    )
+    cfg = BellaConfig()
+    ref, nk_ref, nnz_ref = detect_overlaps(reads, cfg)
+    # force ~4 chunks on this tiny corpus
+    monkeypatch.setattr(pp, "_CHUNK_BASES", len(reads.codes) // 4)
+    chk, nk, nnz = detect_overlaps(reads, cfg)
+    assert (nk, nnz) == (nk_ref, nnz_ref)
+    assert _as_map(chk) == _as_map(ref)
+
+
+def test_chunked_extract_matches_unchunked_wide(monkeypatch):
+    """Chunked extraction on the wide-id (> 64k-read layout) path."""
+    from bella_tpu.overlap import pairs as pp
+
+    g = random_genome(9000, seed=37)
+    reads, _ = sample_reads(
+        g, 40, mean_len=1100, min_len=500, error_rate=0.12, seed=38,
+        circular=False,
+    )
+    cfg = BellaConfig(upper_freq=300)  # > 255 forces the wide path
+    ref, nk_ref, nnz_ref = detect_overlaps(reads, cfg)
+    monkeypatch.setattr(pp, "_CHUNK_BASES", len(reads.codes) // 4)
+    chk, nk, nnz = detect_overlaps(reads, cfg)
+    assert (nk, nnz) == (nk_ref, nnz_ref)
+    assert _as_map(chk) == _as_map(ref)
+
+
 def test_fused_hopc_runs():
     g = random_genome(4000, seed=33)
     reads, _ = sample_reads(g, 15, mean_len=800, min_len=400, error_rate=0.05, seed=34)
@@ -74,7 +111,7 @@ def test_packed_stages_match_unpacked():
         kmer_size=k, upper=cfg.upper_freq, bin_size=cfg.bin_size,
     )
     assert int(n_live) == int(np.asarray(hv != np.uint32(0xFFFFFFFF)).sum())
-    packed = _compact(_chain_packed(hv, k3, pv, lengths, kmer_size=k, bin_size=cfg.bin_size))
+    packed = _chain_packed(hv, k3, pv, lengths, kmer_size=k, bin_size=cfg.bin_size)
     h, v, b, ph, pvv, fl, ov = _fused_emit(
         live, sr, sp, sc, rank, lengths,
         kmer_size=k, upper=cfg.upper_freq, bin_size=cfg.bin_size,

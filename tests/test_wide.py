@@ -10,7 +10,7 @@ from bella_tpu import BellaConfig
 from bella_tpu.io.fastq import ReadSet
 from bella_tpu.io.simulate import random_genome, sample_reads
 from bella_tpu.overlap.pairs import (
-    _chain_packed, _chain_wide, _compact, _compact_reliable,
+    _chain_packed, _chain_wide, _compact_reliable,
     _compact_reliable_wide, _fused_count, _fused_count_wide,
     _fused_emit_packed, _fused_emit_wide, _size_bucket, detect_overlaps,
 )
@@ -52,8 +52,8 @@ def test_wide_stages_match_packed():
         jnp.int32(n), csr, csp, csc, crank, lengths,
         kmer_size=k, upper=cfg.upper_freq, bin_size=cfg.bin_size,
     )
-    packed = _compact(_chain_packed(hv, k3, pv, lengths, kmer_size=k,
-                                    bin_size=cfg.bin_size))
+    packed = _chain_packed(hv, k3, pv, lengths, kmer_size=k,
+                           bin_size=cfg.bin_size)
 
     rel, wsr, wsp, wsc, wrank, wnnz, wnk = _fused_count_wide(*args, **kw)
     assert (int(wnnz), int(wnk)) == (n, int(nk))
@@ -65,8 +65,8 @@ def test_wide_stages_match_packed():
         jnp.int32(n), csr2, csp2, csc2, crank2, lengths,
         kmer_size=k, upper=cfg.upper_freq, bin_size=cfg.bin_size,
     )
-    wide = _compact(_chain_wide(h, v, k3w, pvw, lengths, kmer_size=k,
-                                bin_size=cfg.bin_size))
+    wide = _chain_wide(h, v, k3w, pvw, lengths, kmer_size=k,
+                       bin_size=cfg.bin_size)
     assert _as_map(packed) == _as_map(wide)
 
 
