@@ -1451,13 +1451,20 @@ def _detect_overlaps_split(reads, config: BellaConfig, budget: float,
     sent = np.uint32(0xFFFFFFFF)
 
     # host-side chunking ONCE; packed chunk bytes are uploaded once and
-    # stay resident across pass groups (0.25 B/position)
-    chunks = []  # (codes_dev, lengths_dev, offs_dev, n_reads, lo)
-    lo = 0
-    while lo < R:
+    # stay resident across pass groups (0.25 B/position). Chunk read
+    # counts are padded to one shared bucket with zero-length reads
+    # (they own no positions), so every chunk reuses ONE compiled
+    # _chunk_partition shape instead of one per distinct read count.
+    bounds = [0]
+    while bounds[-1] < R:
+        lo = bounds[-1]
         hi = lo + 1
         while hi < R and offsets[hi + 1] - offsets[lo] <= cb:
             hi += 1
+        bounds.append(hi)
+    NR = _size_bucket(max(b - a for a, b in zip(bounds, bounds[1:])) + 1)
+    chunks = []  # (codes_dev, lengths_dev, offs_dev, n_reads, lo)
+    for lo, hi in zip(bounds, bounds[1:]):
         span = int(offsets[hi] - offsets[lo])
         codes_c = reads.codes[int(offsets[lo]):int(offsets[hi])]
         lengths_c = reads.lengths[lo:hi].astype(np.int32)
@@ -1468,6 +1475,12 @@ def _detect_overlaps_split(reads, config: BellaConfig, budget: float,
             )
             lengths_c = np.append(lengths_c, np.int32(cb - span))
             offs_c = np.append(offs_c, np.int32(cb))
+        if len(lengths_c) < NR:  # zero-length reads pad the read count
+            pad = NR - len(lengths_c)
+            lengths_c = np.concatenate([lengths_c, np.zeros(pad, np.int32)])
+            offs_c = np.concatenate(
+                [offs_c, np.full(pad, offs_c[-1], np.int32)]
+            )
         c4 = codes_c.reshape(-1, 4).astype(np.uint8)
         cbytes = np.concatenate([
             c4[:, 0] | (c4[:, 1] << 2) | (c4[:, 2] << 4) | (c4[:, 3] << 6),
@@ -1477,7 +1490,6 @@ def _detect_overlaps_split(reads, config: BellaConfig, budget: float,
             jnp.asarray(cbytes), jnp.asarray(lengths_c),
             jnp.asarray(offs_c), hi - lo, lo,
         ))
-        lo = hi
 
     rel_parts = []   # (csr, csp, csc, crank, n_p) per pass
     rel_off = 0
