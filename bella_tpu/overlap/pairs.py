@@ -1230,12 +1230,13 @@ def _chain_scans_wide(h, v, k3, pv, read_lengths, kmer_size: int, bin_size: int)
 # ----------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("kmer_size", "bin_size", "out_size",
-                                   "wide"))
+@partial(jax.jit, static_argnames=("kmer_size", "bin_size", "wide"))
 def _chain_finish(ops, read_lengths, kmer_size: int, bin_size: int,
-                  out_size: int, wide: bool):
-    """Device half: chain scans (inlined) + pack + compact to a stacked
-    (3|4, out_size) int32 block plus the seed count."""
+                  wide: bool):
+    """Device phase A: chain scans (inlined) + readback packing. Returns
+    the packed columns, the seed-ordering key (dead bit over row index),
+    and the seed count — the count's relay round trip then overlaps the
+    phase-B sort, which doesn't depend on it."""
     u32 = jnp.uint32
     if wide:
         h, v, k3, pv = ops
@@ -1260,27 +1261,39 @@ def _chain_finish(ops, read_lengths, kmer_size: int, bin_size: int,
     )
     poshv = (out["pos_h"].astype(u32) << u32(16)) | out["pos_v"].astype(u32)
     cols = id_cols + (cm2, poshv)
-    n = seed.shape[0]
-    if out_size <= (1 << 18):
-        # few seeds: single-operand index sort + small-output gathers
-        # (see _gather_seeds for the measured trade)
-        key = ((~seed).astype(u32) << u32(31)) | jax.lax.iota(u32, n)
-        skey = jax.lax.sort(key)
-        idx = (skey[:out_size] & u32(0x7FFFFFFF)).astype(jnp.int32)
-        rows = [jnp.take(c, idx, axis=0) for c in cols]
-    else:
-        dead = (~seed).astype(u32)
-        iota = jax.lax.iota(jnp.int32, n)
-        sorted_all = jax.lax.sort((dead, iota) + cols, num_keys=2)
-        rows = [a[:out_size] for a in sorted_all[2:]]
-    return jnp.stack([r.astype(jnp.int32) for r in rows]), nseed
+    key = ((~seed).astype(u32) << u32(31)) | jax.lax.iota(u32, seed.shape[0])
+    return cols, key, nseed
+
+
+@jax.jit
+def _sort_seedkey(key):
+    """Phase B, small streams: single-operand seed-index sort (gathers
+    at the exact pair bucket follow once the count is known)."""
+    return jax.lax.sort(key)
+
+
+@partial(jax.jit, donate_argnums=(0, 1))
+def _sort_carry(key, cols):
+    """Phase B, huge streams: carry the packed columns through the sort
+    (multi-million-row gathers are the slow path on this toolchain)."""
+    return jax.lax.sort((key,) + cols, num_keys=1)[1:]
 
 
 @partial(jax.jit, static_argnames=("size",))
-def _slice_pairs(stacked, size: int):
-    """Trim the speculative compaction block to the pair-count bucket
-    before the relay transfer (readback bytes are wall-clock)."""
-    return stacked[:, :size]
+def _gather_block(skey, cols, size: int):
+    """Phase C: gather the packed columns at the first `size` seed rows
+    and stack to ONE (F, size) readback block."""
+    u32 = jnp.uint32
+    idx = (skey[:size] & u32(0x7FFFFFFF)).astype(jnp.int32)
+    return jnp.stack(
+        [jnp.take(c, idx, axis=0).astype(jnp.int32) for c in cols]
+    )
+
+
+@partial(jax.jit, static_argnames=("size",))
+def _slice_block(sorted_cols, size: int):
+    """Phase C (carry variant): slice the seed prefix and stack."""
+    return jnp.stack([c[:size].astype(jnp.int32) for c in sorted_cols])
 
 
 def _unpack_pairs(arr, lengths_np, kmer_size: int, wide: bool
@@ -1320,35 +1333,28 @@ def _unpack_pairs(arr, lengths_np, kmer_size: int, wide: bool
 
 def _finish_chain(ops, read_lengths, lengths_np, kmer_size: int,
                   bin_size: int, wide: bool) -> CandidatePairs:
-    """Host driver for the fused finish. The compaction is SPECULATIVE
-    at 1/32 of the candidate stream (pair density on long-read overlap
-    graphs runs 1/64..1/140): the block is dispatched before the seed
-    count is known, so the count's relay round trip overlaps the gather;
-    a denser-than-1/32 stream retries through the unfused path (logged,
-    never wrong)."""
+    """Host driver for the fused finish: phase A (scans+pack) emits the
+    seed count; phase B (the seed-ordering sort) is dispatched BEFORE
+    the count's relay round trip blocks, so the two overlap; phase C
+    then moves exactly the pair bucket over the relay."""
     n = int(ops[0].shape[0])
-    out_size = min(_size_bucket(max(n >> 5, 1 << 14)), n)
-    stacked, nseed = _chain_finish(
-        ops, read_lengths, kmer_size=kmer_size, bin_size=bin_size,
-        out_size=out_size, wide=wide,
+    cols, key, nseed = _chain_finish(
+        ops, read_lengths, kmer_size=kmer_size, bin_size=bin_size, wide=wide
     )
-    num = int(nseed)
+    del ops
+    carry = n > (1 << 23)  # huge streams: gathers are the slow path
+    if carry:
+        sorted_cols = _sort_carry(key, cols)
+    else:
+        skey = _sort_seedkey(key)
+    num = int(nseed)  # round trip overlaps the phase-B sort
     if num == 0:
         return CandidatePairs.empty()
-    if num > out_size:
-        log("seedCompactionRetry",
-            f"{num} seeds exceed the {out_size}-row speculative block")
-        if wide:
-            out = _chain_scans_wide(
-                *ops, read_lengths, kmer_size=kmer_size, bin_size=bin_size
-            )
-        else:
-            out = _chain_scans_packed(
-                *ops, read_lengths, kmer_size=kmer_size, bin_size=bin_size
-            )
-        return _compact(out)
-    size2 = min(1 << max(10, (num - 1).bit_length()), out_size)
-    arr = np.asarray(_slice_pairs(stacked, size2))[:, :num]
+    size = min(1 << max(10, (num - 1).bit_length()), n)
+    if carry:
+        arr = np.asarray(_slice_block(sorted_cols, size))[:, :num]
+    else:
+        arr = np.asarray(_gather_block(skey, cols, size))[:, :num]
     if lengths_np is None:
         lengths_np = np.asarray(read_lengths)
     return _unpack_pairs(arr, lengths_np, kmer_size, wide=wide)

@@ -44,8 +44,11 @@ hv,k3,pv,ncand = emit
 def chs(): return pp._chain_sort_packed(hv+jnp.uint32(0), k3+jnp.uint32(0), pv+jnp.uint32(0))  # +0 copies: inputs are donated
 cs = t("chain_sort", chs)
 lim = min(pp._size_bucket(max(int(ncand),1<<10)), cs[0].shape[0])
-sc2 = t("chain_scans", pp._chain_scans_packed, cs[0][:lim], cs[1][:lim], cs[2][:lim], ld, kmer_size=k, bin_size=500)
-num = int(jnp.sum(sc2["seed_mask"]))
-gsize = 1 << max(10,(num-1).bit_length())
-out = t("gather_seeds", pp._gather_seeds, sc2, min(gsize, lim), pp._FIELDS_PACKED)
-t0=time.perf_counter(); arr=np.asarray(out); print(f"readback: {(time.perf_counter()-t0)*1e3:.1f} ms  pairs={num} nnz={n}")
+fin = t("chain_finish(scans+pack)", pp._chain_finish,
+        tuple(a[:lim] for a in cs), ld, kmer_size=k, bin_size=500, wide=False)
+cols, key, nseed = fin
+skey = t("seedkey_sort", pp._sort_seedkey, key)
+num = int(nseed)
+size2 = min(1 << max(10, (num - 1).bit_length()), lim)
+blk = t("gather_block", pp._gather_block, skey, cols, size=size2)
+t0=time.perf_counter(); arr=np.asarray(blk); print(f"readback: {(time.perf_counter()-t0)*1e3:.1f} ms  pairs={num} nnz={n}")
