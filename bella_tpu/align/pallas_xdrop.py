@@ -77,9 +77,27 @@ def _roll_r(a):
     return jnp.concatenate([a[:, -1:], a[:, :-1]], axis=1)
 
 
+def _unpack_chars(win, off, width: int, bb: int, sdt):
+    """Expand `width` base chars starting at base offset `off` (scalar,
+    0..15) from a word window already rotated so its word 0 holds the
+    wanted base 0. Chars unpack lane-wise: char t reads word (t+off)>>4
+    at bit 2*((t+off)&15) — a few broadcast-selects per 16 chars, paid
+    once per feed refill."""
+    u32 = jnp.uint32
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bb, width), 1)
+    tt = lane + off
+    bit = ((tt & jnp.int32(15)) * jnp.int32(2)).astype(u32)
+    wsel = tt >> jnp.int32(4)
+    out = jnp.zeros((bb, width), u32)
+    for j in range((width + 30) >> 4):
+        wj = win[:, j:j + 1]
+        out = jnp.where(wsel == j, (wj >> bit) & u32(3), out)
+    return out.astype(sdt)
+
+
 def _kernel(t_ref, q_ref, tl_ref, ql_ref, score_ref, te_ref, qe_ref,
             *, W, xdrop, match, mismatch, gap, max_chunks, bb, use_i16,
-            chunk_steps):
+            chunk_steps, packed=False):
     sdt = jnp.int16 if use_i16 else jnp.int32
     lane = jax.lax.broadcasted_iota(sdt, (bb, W), 1)
     lane32 = jax.lax.broadcasted_iota(jnp.int32, (bb, W), 1)
@@ -100,11 +118,17 @@ def _kernel(t_ref, q_ref, tl_ref, ql_ref, score_ref, te_ref, qe_ref,
         jnp.where(lane == 1, jnp.where(t_len_s >= 1, sdt(gap), ninf), ninf),
     )
     # char windows for diag d=2: twin[p] = T[p-1], qwin[p] = Q[1-p]
-    thead = t_ref[:, :W].astype(sdt)
+    if packed:
+        thead = _unpack_chars(t_ref[:, :128], jnp.int32(0), W, bb, sdt)
+        qw0 = q_ref[:, 0:1]
+        q0 = (qw0 & jnp.uint32(3)).astype(sdt)
+        q1 = ((qw0 >> jnp.uint32(2)) & jnp.uint32(3)).astype(sdt)
+    else:
+        thead = t_ref[:, :W].astype(sdt)
+        qhead = q_ref[:, :128].astype(sdt)
+        q0 = qhead[:, 0:1]
+        q1 = qhead[:, 1:2]
     twin = jnp.where(lane == 0, pad, _roll_r(thead))
-    qhead = q_ref[:, :128].astype(sdt)
-    q0 = qhead[:, 0:1]
-    q1 = qhead[:, 1:2]
     qwin = jnp.where(lane == 0, q1, jnp.where(lane == 1, q0, pad))
 
     best = jnp.zeros((bb, 1), jnp.int32)
@@ -187,7 +211,18 @@ def _kernel(t_ref, q_ref, tl_ref, ql_ref, score_ref, te_ref, qe_ref,
         """Feed refill at an arbitrary offset: Mosaic only allows dynamic
         lane offsets that are 128-aligned, so load an aligned window of
         chunk_steps+128 (off < 128 chars of slack) and rotate the wanted
-        chunk to the front."""
+        chunk to the front. Packed refs hold u32 words of 16 bases: load
+        a 128-aligned WORD window, rotate the wanted word to lane 0, and
+        expand chunk_steps chars (sub-word offset handled in the
+        expansion)."""
+        if packed:
+            wptr = ptr >> jnp.int32(4)
+            base = pl.multiple_of((wptr >> jnp.int32(7)) << jnp.int32(7), 128)
+            win = ref[:, pl.ds(base, 256)]
+            ow = wptr - base  # in [0, 128)
+            rot = pltpu.roll(win, (jnp.int32(256) - ow) % jnp.int32(256), 1)
+            return _unpack_chars(rot, ptr & jnp.int32(15), chunk_steps, bb,
+                                 sdt)
         win_w = -(-(chunk_steps + 128) // 128) * 128  # 128-multiple width
         base = pl.multiple_of((ptr >> jnp.int32(7)) << jnp.int32(7), 128)
         win = ref[:, pl.ds(base, win_w)].astype(sdt)
@@ -309,6 +344,67 @@ def extend_batch_pallas(
     # which Mosaic cannot return from the index-map func
     zero = lambda i: (i, jnp.int32(0))
     blk = pl.BlockSpec((bb, Lp), zero, memory_space=pltpu.VMEM)
+    blk1 = pl.BlockSpec((bb, 1), zero, memory_space=pltpu.VMEM)
+    score, te, qe = pl.pallas_call(
+        kernel,
+        grid=(Bp // bb,),
+        in_specs=[blk, blk, blk1, blk1],
+        out_specs=[blk1, blk1, blk1],
+        out_shape=[jax.ShapeDtypeStruct((Bp, 1), jnp.int32)] * 3,
+        interpret=interpret,
+    )(Tp, Qp, tl, ql)
+    return dict(score=score[:B, 0], t_end=te[:B, 0], q_end=qe[:B, 0])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "xdrop", "band", "max_steps", "match", "mismatch", "gap", "interpret"
+    ),
+)
+def extend_batch_pallas_packed(
+    Tw, t_len, Qw, q_len, xdrop,
+    band: int = 256,
+    max_steps: int = 0,
+    match: int = 1,
+    mismatch: int = -1,
+    gap: int = -1,
+    interpret: bool = False,
+):
+    """extend_batch on packed-word sequences: T, Q are (B, L/16) uint32
+    matrices of 16 LSB-first 2-bit bases per word (xdrop.pack_words
+    layout). The kernel expands chars in its feed path, so the 16x
+    smaller word buffers are all that is padded, shipped, and streamed —
+    the production path behind align_candidates (the int8->int32
+    widened char matrices of extend_batch_pallas cost more HBM traffic
+    than the whole wavefront)."""
+    B, WpIn = Tw.shape
+    L = WpIn * 16
+    W = max(128, -(-int(band) // 128) * 128)
+    if max_steps <= 0:
+        max_steps = 2 * L
+    chunk_steps = CHUNK_INTERPRET if interpret else CHUNK
+    max_chunks = -(-int(max_steps) // chunk_steps) + 1
+    bb = 32 if W <= 128 else 8
+    u32 = jnp.uint32
+
+    Bp = -(-B // bb) * bb
+    # char-domain margin as extend_batch_pallas, plus the word window's
+    # 256-word (4096-char) reach beyond the furthest pointer
+    Lp = -(-(max(L, W) + W + 2 * CHUNK + 256) // 128) * 128
+    LpW = -(-Lp // (16 * 128)) * 128 + 256
+    Tp = jnp.zeros((Bp, LpW), u32).at[:B, :WpIn].set(Tw)
+    Qp = jnp.zeros((Bp, LpW), u32).at[:B, :WpIn].set(Qw)
+    tl = jnp.zeros((Bp, 1), jnp.int32).at[:B, 0].set(t_len.astype(jnp.int32))
+    ql = jnp.zeros((Bp, 1), jnp.int32).at[:B, 0].set(q_len.astype(jnp.int32))
+
+    kernel = functools.partial(
+        _kernel, W=W, xdrop=int(xdrop), match=match, mismatch=mismatch,
+        gap=gap, max_chunks=max_chunks, bb=bb, use_i16=False,
+        chunk_steps=chunk_steps, packed=True,
+    )
+    zero = lambda i: (i, jnp.int32(0))
+    blk = pl.BlockSpec((bb, LpW), zero, memory_space=pltpu.VMEM)
     blk1 = pl.BlockSpec((bb, 1), zero, memory_space=pltpu.VMEM)
     score, te, qe = pl.pallas_call(
         kernel,

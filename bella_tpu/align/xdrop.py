@@ -249,6 +249,62 @@ def _gather_suffix(S, start, length, L):
     return _lshift_rows(S, start)
 
 
+# ----------------------------------------------------------------------
+# Packed-word sequence prep (the Pallas path): sequences ride as uint32
+# words holding 16 bases LSB-first (base i of word j = bits [2i, 2i+2)
+# of position 16j+i). The barrel shifts then move 4x fewer bytes in
+# log2(L/16) word passes + ONE sub-word bit pass, and the kernel input
+# buffers shrink 16x vs the int32-widened char matrices (base chars
+# beyond a row's length are 'A' instead of PAD — safe because both
+# aligner backends mask DP cells by t_len/q_len, never by sentinel).
+# ----------------------------------------------------------------------
+
+
+def pack_words(mat: np.ndarray) -> np.ndarray:
+    """Host: (R, L) int8 codes -> (R, L/16) uint32, 16 bases per word
+    LSB-first. PAD chars collapse to 'A' (& 3): beyond-length content is
+    masked by lengths everywhere downstream."""
+    R, L = mat.shape
+    c = (mat.astype(np.uint32) & 3).reshape(R, L // 16, 16)
+    return (c << (2 * np.arange(16, dtype=np.uint32))).sum(
+        axis=2, dtype=np.uint32
+    )
+
+
+def _revbase_words(w):
+    """Reverse the 16 bases within each u32 word (2-bit group reversal)."""
+    u = jnp.uint32
+    w = ((w & u(0x33333333)) << u(2)) | ((w >> u(2)) & u(0x33333333))
+    w = ((w & u(0x0F0F0F0F)) << u(4)) | ((w >> u(4)) & u(0x0F0F0F0F))
+    w = ((w & u(0x00FF00FF)) << u(8)) | ((w >> u(8)) & u(0x00FF00FF))
+    return (w << u(16)) | (w >> u(16))
+
+
+def _reverse_rows_w(x):
+    """Reverse each row of a (B, Wp) word matrix in BASE order."""
+    return _revbase_words(jnp.flip(x, axis=1))
+
+
+def _lshift_rows_w(x, s):
+    """Word-matrix row shift by s BASES: out base t = in base t+s ('A'
+    fill beyond). log2(Wp) static word shifts + one sub-word bit pass."""
+    B, Wp = x.shape
+    u = jnp.uint32
+    sw = (s.astype(jnp.int32) >> 4)[:, None]
+    k = 1
+    while k < Wp:
+        shifted = jnp.concatenate(
+            [x[:, k:], jnp.zeros_like(x[:, :k])], axis=1
+        )
+        x = jnp.where((sw & k) > 0, shifted, x)
+        k <<= 1
+    r = ((s.astype(jnp.uint32) & u(15)) * u(2))[:, None]
+    nxt = jnp.concatenate([x[:, 1:], jnp.zeros_like(x[:, :1])], axis=1)
+    amt = jnp.where(r > u(0), u(32) - r, u(0))
+    hi = jnp.where(r > u(0), nxt << amt, u(0))
+    return (x >> r) | hi
+
+
 def _prepare_extensions(reads_dev, lens_dev, bh, bv, ph_raw, pv, rc, k: int,
                         valid=None, seq_len: int = 0):
     """Strand correction + left/right extension sequence gathers.
@@ -297,6 +353,48 @@ def _prepare_extensions(reads_dev, lens_dev, bh, bv, ph_raw, pv, rc, k: int,
     )
 
 
+def _prepare_extensions_packed(reads_w, lens_dev, bh, bv, ph_raw, pv, rc,
+                               k: int, valid=None, seq_len: int = 0):
+    """Packed-word variant of _prepare_extensions: same strand
+    correction and extension composition, with every sequence stream a
+    (B, L/16) u32 word matrix (see pack_words). The complement is ~w
+    (code c -> 3-c in every 2-bit group); fill beyond a row's length is
+    'A', masked by lengths in the kernel."""
+    u32 = jnp.uint32
+    if seq_len and seq_len < reads_w.shape[1] * 16:
+        Wp = seq_len // 16
+        h_w = reads_w[bh, :Wp]
+        V = reads_w[bv, :Wp]
+    else:
+        Wp = reads_w.shape[1]
+        h_w = reads_w[bh]
+        V = reads_w[bv]
+    L = Wp * 16
+    len_h = lens_dev[bh]
+    len_v = lens_dev[bv]
+    if valid is not None:
+        len_h = jnp.where(valid, len_h, 0)
+        len_v = jnp.where(valid, len_v, 0)
+
+    rc_w = _lshift_rows_w(_reverse_rows_w(~h_w), L - len_h)
+    H = jnp.where(rc[:, None], rc_w, h_w)
+    seed_h = jnp.where(rc, len_h - ph_raw - k, ph_raw)
+    seed_end_h = seed_h + k
+    seed_end_v = pv + k
+
+    revH = _reverse_rows_w(H)
+    revV = _reverse_rows_w(V)
+    lt = _lshift_rows_w(revH, L - seed_end_h)
+    lq = _lshift_rows_w(revV, L - seed_end_v)
+    rt = _lshift_rows_w(H, seed_end_h)
+    rq = _lshift_rows_w(V, seed_end_v)
+    return dict(
+        lt=lt, lq=lq, lt_len=seed_end_h, lq_len=seed_end_v,
+        rt=rt, rq=rq, rt_len=len_h - seed_end_h, rq_len=len_v - seed_end_v,
+        seed_end_h=seed_end_h, seed_end_v=seed_end_v, L=L,
+    )
+
+
 def _combine_extensions(ext, left, right):
     """Stacked (5, B) int32 block: one device->host transfer per batch
     (each separate transfer pays the relay round trip), row order
@@ -337,16 +435,18 @@ def _seed_extend_batch(
 @partial(jax.jit, static_argnames=(
     "xdrop", "kmer_size", "band", "interpret", "max_steps", "seq_len"))
 def _seed_extend_batch_pallas(
-    reads_dev, lens_dev, bh, bv, ph_raw, pv, rc, valid,
+    reads_w, lens_dev, bh, bv, ph_raw, pv, rc, valid,
     xdrop: int, kmer_size: int, band: int, interpret: bool,
     max_steps: int = 0, seq_len: int = 0,
 ):
     """Pallas-backed variant: left and right extensions of the whole
-    batch are fused into ONE kernel dispatch (2B grid blocks)."""
-    from bella_tpu.align.pallas_xdrop import extend_batch_pallas
+    batch are fused into ONE kernel dispatch (2B grid blocks). reads_w
+    is the packed-word matrix (pack_words): the gathers, barrel shifts,
+    and kernel feeds all run 16 bases per u32 word."""
+    from bella_tpu.align.pallas_xdrop import extend_batch_pallas_packed
 
-    ext = _prepare_extensions(
-        reads_dev, lens_dev, bh, bv, ph_raw, pv, rc, kmer_size, valid,
+    ext = _prepare_extensions_packed(
+        reads_w, lens_dev, bh, bv, ph_raw, pv, rc, kmer_size, valid,
         seq_len=seq_len,
     )
     B = ext["lt"].shape[0]
@@ -360,7 +460,7 @@ def _seed_extend_batch_pallas(
     # step-homogeneous; left/right extensions of one seed differ wildly
     order = jnp.argsort(tl2 + ql2)
     inv = jnp.argsort(order)
-    out = extend_batch_pallas(
+    out = extend_batch_pallas_packed(
         T2[order], tl2[order], Q2[order], ql2[order], xdrop,
         band=band, max_steps=max_steps if max_steps > 0 else 2 * L,
         interpret=interpret,
@@ -407,28 +507,6 @@ def align_candidates(
     batch_size = min(max(batch_size, ndev), bucket)
     R, Lmax = reads_padded.shape
     k = config.kmer_size
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec
-
-        _repl = NamedSharding(mesh, PartitionSpec())
-        _shard = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
-        reads_dev = jax.device_put(reads_padded, _repl)
-        lens_dev = jax.device_put(read_lengths.astype(np.int32), _repl)
-
-        def _put(a):
-            return jax.device_put(a, _shard)
-    else:
-        reads_dev = jnp.asarray(reads_padded)
-        lens_dev = jnp.asarray(read_lengths.astype(np.int32))
-
-        def _put(a):
-            return jnp.asarray(a)
-
-    score = np.zeros(P, np.int32)
-    beg_h = np.zeros(P, np.int32)
-    end_h = np.zeros(P, np.int32)
-    beg_v = np.zeros(P, np.int32)
-    end_v = np.zeros(P, np.int32)
 
     # backend: the Pallas kernel is the compiled TPU path; the pure-JAX
     # while_loop path covers CPU/GPU and serves as the oracle. An
@@ -444,6 +522,33 @@ def align_candidates(
         import jax as _jax
 
         interpret = use_pallas and _jax.default_backend() != "tpu"
+
+    # the Pallas path ships packed words (4x smaller upload than int8
+    # chars over the ~25 MB/s relay, 16x smaller kernel pad buffers);
+    # the jax oracle keeps the char matrix
+    reads_host = pack_words(reads_padded) if use_pallas else reads_padded
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        _repl = NamedSharding(mesh, PartitionSpec())
+        _shard = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+        reads_dev = jax.device_put(reads_host, _repl)
+        lens_dev = jax.device_put(read_lengths.astype(np.int32), _repl)
+
+        def _put(a):
+            return jax.device_put(a, _shard)
+    else:
+        reads_dev = jnp.asarray(reads_host)
+        lens_dev = jnp.asarray(read_lengths.astype(np.int32))
+
+        def _put(a):
+            return jnp.asarray(a)
+
+    score = np.zeros(P, np.int32)
+    beg_h = np.zeros(P, np.int32)
+    end_h = np.zeros(P, np.int32)
+    beg_v = np.zeros(P, np.int32)
+    end_v = np.zeros(P, np.int32)
     pallas_band = int(getattr(config, "pallas_band", 256))
     # wavefront step cap: config.max_steps when set, else length-derived
     # (2*Lmax inside the jit)
@@ -529,7 +634,7 @@ def align_candidates(
         selp = np.concatenate([sel, np.zeros(pad, sel.dtype)]) if pad else sel
         validp = np.arange(batch_size) < len(sel)
         ref = np.asarray(_seed_extend_batch(
-            reads_dev, lens_dev,
+            jnp.asarray(reads_padded), lens_dev,
             jnp.asarray(pairs.read_h[selp]), jnp.asarray(pairs.read_v[selp]),
             jnp.asarray(pairs.pos_h[selp].astype(np.int32)),
             jnp.asarray(pairs.pos_v[selp].astype(np.int32)),

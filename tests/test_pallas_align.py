@@ -53,6 +53,66 @@ def test_matches_oracle(err, seed):
         assert (s, te, qe) == (es, ete, eqe), (err, xdrop)
 
 
+def test_packed_kernel_matches_unpacked():
+    """extend_batch_pallas_packed (u32-word feeds, in-kernel expansion)
+    == extend_batch_pallas (char feeds) on a mixed batch."""
+    from bella_tpu.align.pallas_xdrop import extend_batch_pallas_packed
+    from bella_tpu.align.xdrop import pack_words
+
+    rng = np.random.default_rng(17)
+    B, L = 9, 512  # crosses one bb=8 block boundary
+    T = np.full((B, L), 127, np.int8)
+    Q = np.full((B, L), 127, np.int8)
+    tl = rng.integers(0, L, B).astype(np.int32)
+    ql = rng.integers(0, L, B).astype(np.int32)
+    tl[0], ql[0] = 0, 0  # empty pair
+    for b in range(B):
+        t = rng.integers(0, 4, tl[b]).astype(np.int8)
+        T[b, : tl[b]] = t
+        q = mutate(t, 0.12, rng)[: L]
+        ql[b] = min(ql[b], len(q))
+        Q[b, : ql[b]] = q[: ql[b]]
+    ref = extend_batch_pallas(
+        jnp.asarray(T), jnp.asarray(tl), jnp.asarray(Q), jnp.asarray(ql),
+        7, band=256, max_steps=2 * L, interpret=True,
+    )
+    got = extend_batch_pallas_packed(
+        jnp.asarray(pack_words(T)), jnp.asarray(tl),
+        jnp.asarray(pack_words(Q)), jnp.asarray(ql),
+        7, band=256, max_steps=2 * L, interpret=True,
+    )
+    for key in ("score", "t_end", "q_end"):
+        assert np.array_equal(np.asarray(ref[key]), np.asarray(got[key])), key
+
+
+def test_word_helpers_match_char_ops():
+    """pack_words + word-domain reverse/shift == the char-domain ops."""
+    from bella_tpu.align.xdrop import (
+        _lshift_rows, _lshift_rows_w, _reverse_rows_w, pack_words,
+    )
+
+    rng = np.random.default_rng(23)
+    B, L = 5, 256
+    mat = rng.integers(0, 4, (B, L)).astype(np.int8)
+    s = rng.integers(0, L, B).astype(np.int32)
+    w = jnp.asarray(pack_words(mat))
+    # shift: chars beyond the shift window are PAD (char) vs 'A' (word);
+    # compare only the in-window prefix per row
+    shifted_c = np.asarray(_lshift_rows(jnp.asarray(mat), jnp.asarray(s)))
+    shifted_w = np.asarray(_lshift_rows_w(w, jnp.asarray(s)))
+    rev_w = np.asarray(_reverse_rows_w(w))
+    for b in range(B):
+        keep = L - int(s[b])
+        unpacked = np.concatenate(
+            [(shifted_w[b] >> (2 * i)) & 3 for i in range(16)]
+        ).reshape(16, -1).T.reshape(-1)
+        assert np.array_equal(unpacked[:keep], shifted_c[b, :keep] & 3)
+        unp_rev = np.concatenate(
+            [(rev_w[b] >> (2 * i)) & 3 for i in range(16)]
+        ).reshape(16, -1).T.reshape(-1)
+        assert np.array_equal(unp_rev, mat[b, ::-1] & 3)
+
+
 def test_batch_mixed_lengths():
     """One dispatch, 11 pairs (pads to 2 blocks), vs the oracle."""
     rng = np.random.default_rng(7)
