@@ -31,6 +31,7 @@ xavier/simdutils.h moveRight/moveDown).
 from __future__ import annotations
 
 import dataclasses
+import sys
 from functools import partial
 from typing import Tuple
 
@@ -263,12 +264,20 @@ def _gather_suffix(S, start, length, L):
 def pack_words(mat: np.ndarray) -> np.ndarray:
     """Host: (R, L) int8 codes -> (R, L/16) uint32, 16 bases per word
     LSB-first. PAD chars collapse to 'A' (& 3): beyond-length content is
-    masked by lengths everywhere downstream."""
-    R, L = mat.shape
-    c = (mat.astype(np.uint32) & 3).reshape(R, L // 16, 16)
-    return (c << (2 * np.arange(16, dtype=np.uint32))).sum(
-        axis=2, dtype=np.uint32
-    )
+    masked by lengths everywhere downstream.
+
+    Two pairwise u8 combines + a little-endian u32 view (byte b of the
+    word holds bases 4b..4b+3 LSB-first, so the u32 reads as 16 bases
+    LSB-first): ~100x faster than a widen-shift-reduce over a
+    (R, L/16, 16) u32 temp, and it keeps the temps byte-sized."""
+    c = np.ascontiguousarray(mat).view(np.uint8) & 3        # (R, L)
+    c = c[:, 0::2] | (c[:, 1::2] << 2)                      # (R, L/2)
+    c = np.ascontiguousarray(c[:, 0::2] | (c[:, 1::2] << 4))  # (R, L/4)
+    if sys.byteorder != "little":  # pragma: no cover
+        return c.reshape(c.shape[0], -1, 4).astype(np.uint32) @ (
+            np.uint32(1) << (8 * np.arange(4, dtype=np.uint32))
+        )
+    return c.view(np.uint32)
 
 
 def _revbase_words(w):
