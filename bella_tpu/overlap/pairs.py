@@ -408,36 +408,51 @@ def _extract_kmers_phased(
 
     off32 = offsets.astype(jnp.int32)
     j32 = jnp.arange(mb, dtype=jnp.int32)
-    # per-phase read ids, each built by a tiny scatter-add of the read
-    # start markers + one prefix sum over the 1-D phase stream. Phase s
-    # covers positions 4j+s, so read r (starting at off[r]) first
-    # appears at j = ceil((off[r]-s)/4). All work stays 1-D mb-sized:
-    # jnp.repeat lowers to full-stream gathers (~96 ms at 8M rows) and
-    # a stride-4 slice of one global rid array relayouts through a
-    # lane-padded (mb, 4) buffer — both measured dead ends on this
-    # target.
+    # per-phase read ids AND read-start offsets, built by ONE scatter-add
+    # + one prefix sum over the 1-D phase streams. Phase s covers
+    # positions 4j+s, so read r (starting at off[r]) first appears at
+    # j = ceil((off[r]-s)/4); rows 0-3 scatter count markers (prefix sum
+    # = rid+1), rows 4-7 scatter OFFSET DELTAS off[r]-off[r-1] (prefix
+    # sum = off[rid] — reads are stream-ordered, so the deltas
+    # telescope), which deletes the four per-phase off32[rid] gathers
+    # (~60 ms at this scale: full-stream gathers scalarize on this
+    # target, see the pair-emission note). All work stays 1-D mb-sized:
+    # jnp.repeat lowers to full-stream gathers and a stride-4 slice of
+    # one global rid array relayouts through a lane-padded (mb, 4)
+    # buffer — both measured dead ends. The (4, mb) scan already padded
+    # to 8 sublanes, so the (8, mb) scan costs the same passes.
     # out-of-range j0 (read starts after the last phase-s position) is
-    # correctly dropped: no in-range position belongs to it
-    ind4 = jnp.zeros((4, mb), jnp.int32)
-    for s in range(4):
-        j0 = jnp.maximum(off32[:-1] - s + 3, 0) >> 2
-        ind4 = ind4.at[s, j0].add(1, mode="drop")
+    # correctly dropped from BOTH halves: no in-range position belongs
+    # to it, and any later read's marker+delta are dropped too.
+    o = off32[:-1]
+    delta = jnp.concatenate([o[:1], o[1:] - o[:-1]])
+    rows = jnp.concatenate(
+        [jnp.full(o.shape, s2, jnp.int32) for s2 in range(8)]
+    )
+    cols = jnp.concatenate(
+        [jnp.maximum(o - s2 + 3, 0) >> 2 for s2 in range(4)] * 2
+    )
+    vals = jnp.concatenate(
+        [jnp.ones(o.shape, jnp.int32)] * 4 + [delta] * 4
+    )
+    ind8 = jnp.zeros((8, mb), jnp.int32).at[rows, cols].add(
+        vals, mode="drop"
+    )
     if mb <= (1 << 23):
-        # all four phases share one unrolled Hillis-Steele sweep (the
-        # (4, mb) major dim pads to 8 sublanes — 2x buffer, 1/4 the
-        # scan passes of four 1-D scans)
-        x = ind4
+        # all eight streams share one unrolled Hillis-Steele sweep
+        x = ind8
         d = 1
         while d < mb:
             x = x + jnp.concatenate(
-                [jnp.zeros((4, d), jnp.int32), x[:, :-d]], axis=1
+                [jnp.zeros((8, d), jnp.int32), x[:, :-d]], axis=1
             )
             d <<= 1
     else:
         # huge shapes: one cumsum HLO keeps the allocation plan small
         # (the unrolled chain plans log2(N) temporaries)
-        x = jnp.cumsum(ind4, axis=1)
+        x = jnp.cumsum(ind8, axis=1)
     rids = [x[s] - 1 for s in range(4)]
+    ostarts = [x[4 + s] for s in range(4)]
 
     khis, klos, p1s, p2s, rcs = [], [], [], [], []
     for s in range(4):
@@ -446,7 +461,7 @@ def _extract_kmers_phased(
         canon, is_rc = canonical_from_window(W >> u64(2 * s), k)
         g = 4 * j32 + jnp.int32(s)
         rid = rids[s]
-        pos = g - off32[:-1][jnp.clip(rid, 0, nreads - 1)]
+        pos = g - ostarts[s]
         # k-mer validity: same read at the last base, inside the stream
         s2 = (s + k - 1) % 4
         dj = (s + k - 1) // 4
