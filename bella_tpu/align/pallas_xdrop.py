@@ -144,68 +144,123 @@ def _kernel(t_ref, q_ref, tl_ref, ql_ref, score_ref, te_ref, qe_ref,
     # i1 vectors (scf.yield layout mismatch)
     alive = ((t_len + q_len) > 0).astype(jnp.int32)
 
-    def step(s, st):
-        (a1, a2, twin, qwin, tfeed, qfeed, best, best_lane, d_best,
-         alive, d) = st
-        one = jnp.int32(1)
-        lo = _lo(d, W)
-        dlt1 = lo - _lo(d - one, W)        # lo(d) - lo(d-1)
-        dlt2 = _lo(d + one, W) - lo        # lo(d+1) - lo(d)
+    def make_step(mode, s_idx=0):
+        """One-antidiagonal step body, specialized by band-trajectory
+        phase. The static centered trajectory makes every per-step
+        select a pure function of d (see _lo), and d is a pure function
+        of the chunk start d0 and the python step index:
 
-        sub = jnp.where(twin == qwin, sdt(match), sdt(mismatch))
-        # predecessors (extend_batch convention, xdrop.py:119-137) with
-        # SCALAR dlt selects instead of per-row ones. shift_d =
-        # lo(d) - lo(d-2) - 1 (at most one of the two deltas is 1).
-        shift_d = lo - _lo(d - jnp.int32(2), W) - one
-        diag_pred = jnp.where(
-            shift_d == -1, jnp.where(lane == 0, ninf, _roll_r(a1)),
-            jnp.where(
-                shift_d == 0, a1,
-                jnp.where(lane == W - 1, ninf, _roll_l(a1)),
-            ),
-        )
-        gq_pred = jnp.where(
-            dlt1 == 1, a2, jnp.where(lane == 0, ninf, _roll_r(a2))
-        )
-        gt_pred = jnp.where(
-            dlt1 == 1, jnp.where(lane == W - 1, ninf, _roll_l(a2)), a2
-        )
-        a3 = jnp.maximum(
-            diag_pred + sub, jnp.maximum(gq_pred, gt_pred) + sdt(gap)
-        )
-        # DP-matrix validity, entirely in the state dtype (d fits int16
-        # in i16 mode by the I16_MAX_D guard)
-        i = lo.astype(sdt) + lane
-        j = d.astype(sdt) - i
-        valid = (i <= t_len_s) & (j >= 0) & (j <= q_len_s)
-        a3 = jnp.where(valid, jnp.maximum(a3, ninf), ninf)
+          * 'ramp'    — all d in the chunk <= W-2, so lo == 0: no band
+            advance, shift_d == -1, dlt1 == 0 (selects resolve at trace
+            time);
+          * 'steady'  — all d in the chunk >= W+1: lo advances exactly
+            on even d, and chunk starts d0 = 2 + c*chunk_steps are even
+            (chunk_steps is even), so step parity s_idx decides
+            adv/dlt1 statically and shift_d == 0 always;
+          * 'generic' — dynamic scalar selects (only the single chunk
+            spanning the ramp->steady boundary).
 
-        # ONE cross-lane reduction per step (x-drop liveness); the lane
-        # maxima update element-wise, gated on liveness so records
-        # freeze at x-drop death exactly as the per-step argmax did
-        a3_32 = a3.astype(jnp.int32)
-        cur = jnp.max(a3_32, axis=1, keepdims=True)
-        gate = (alive > 0) & (a3_32 > best_lane)
-        best_lane = jnp.where(gate, a3_32, best_lane)
-        d_best = jnp.where(gate, d, d_best)
-        improved = (alive > 0) & (cur > best)
-        best = jnp.where(improved, cur, best)
-        alive = (
-            (alive > 0) & (cur >= best - jnp.int32(xdrop)) & (d < t_len + q_len)
-        ).astype(jnp.int32)
+        Cutting the trajectory selects out of the unrolled step loop
+        removes ~40% of the per-step vector ops on the two hot bodies
+        (the reference pays per-step branch logic too:
+        xavier/simdutils.h:263-289 moveRight/moveDown)."""
+        adv_st = mode == "steady" and s_idx % 2 == 0
+        dlt1_st = s_idx % 2 == 1
 
-        # window + feed updates for diag d+1 (consume T when the band
-        # advances, Q when it does not — strictly in sequence order)
-        adv = dlt2 == 1
-        twin_adv = jnp.where(lane == W - 1, tfeed[:, 0:1], _roll_l(twin))
-        qwin_stay = jnp.where(lane == 0, qfeed[:, 0:1], _roll_r(qwin))
-        twin = jnp.where(adv, twin_adv, twin)
-        qwin = jnp.where(adv, qwin, qwin_stay)
-        tfeed = jnp.where(adv, _roll_l(tfeed), tfeed)
-        qfeed = jnp.where(adv, qfeed, _roll_l(qfeed))
+        def step(st):
+            (a1, a2, twin, qwin, tfeed, qfeed, best, best_lane, d_best,
+             alive, d) = st
+            one = jnp.int32(1)
+            lo = _lo(d, W)
 
-        return (a2, a3, twin, qwin, tfeed, qfeed, best, best_lane,
-                d_best, alive, d + one)
+            sub = jnp.where(twin == qwin, sdt(match), sdt(mismatch))
+            # predecessors (extend_batch convention, xdrop.py:119-137)
+            # with SCALAR dlt selects in the generic body. shift_d =
+            # lo(d) - lo(d-2) - 1 (at most one of the deltas is 1).
+            if mode == "ramp":
+                diag_pred = jnp.where(lane == 0, ninf, _roll_r(a1))
+                gq_pred = jnp.where(lane == 0, ninf, _roll_r(a2))
+                gt_pred = a2
+            elif mode == "steady":
+                diag_pred = a1
+                if dlt1_st:
+                    gq_pred = a2
+                    gt_pred = jnp.where(lane == W - 1, ninf, _roll_l(a2))
+                else:
+                    gq_pred = jnp.where(lane == 0, ninf, _roll_r(a2))
+                    gt_pred = a2
+            else:
+                dlt1 = lo - _lo(d - one, W)
+                shift_d = lo - _lo(d - jnp.int32(2), W) - one
+                diag_pred = jnp.where(
+                    shift_d == -1, jnp.where(lane == 0, ninf, _roll_r(a1)),
+                    jnp.where(
+                        shift_d == 0, a1,
+                        jnp.where(lane == W - 1, ninf, _roll_l(a1)),
+                    ),
+                )
+                gq_pred = jnp.where(
+                    dlt1 == 1, a2, jnp.where(lane == 0, ninf, _roll_r(a2))
+                )
+                gt_pred = jnp.where(
+                    dlt1 == 1, jnp.where(lane == W - 1, ninf, _roll_l(a2)),
+                    a2,
+                )
+            a3 = jnp.maximum(
+                diag_pred + sub, jnp.maximum(gq_pred, gt_pred) + sdt(gap)
+            )
+            # DP-matrix validity, entirely in the state dtype (d fits
+            # int16 in i16 mode by the I16_MAX_D guard)
+            i = lane if mode == "ramp" else lo.astype(sdt) + lane
+            j = d.astype(sdt) - i
+            valid = (i <= t_len_s) & (j >= 0) & (j <= q_len_s)
+            a3 = jnp.where(valid, jnp.maximum(a3, ninf), ninf)
+
+            # ONE cross-lane reduction per step (x-drop liveness); the
+            # lane maxima update element-wise, gated on liveness so
+            # records freeze at x-drop death as the per-step argmax did
+            a3_32 = a3.astype(jnp.int32)
+            cur = jnp.max(a3_32, axis=1, keepdims=True)
+            gate = (alive > 0) & (a3_32 > best_lane)
+            best_lane = jnp.where(gate, a3_32, best_lane)
+            d_best = jnp.where(gate, d, d_best)
+            improved = (alive > 0) & (cur > best)
+            best = jnp.where(improved, cur, best)
+            alive = (
+                (alive > 0) & (cur >= best - jnp.int32(xdrop))
+                & (d < t_len + q_len)
+            ).astype(jnp.int32)
+
+            # window + feed updates for diag d+1 (consume T when the
+            # band advances, Q when it does not — in sequence order)
+            if mode == "ramp":
+                qwin = jnp.where(lane == 0, qfeed[:, 0:1], _roll_r(qwin))
+                qfeed = _roll_l(qfeed)
+            elif mode == "steady":
+                if adv_st:
+                    twin = jnp.where(
+                        lane == W - 1, tfeed[:, 0:1], _roll_l(twin)
+                    )
+                    tfeed = _roll_l(tfeed)
+                else:
+                    qwin = jnp.where(lane == 0, qfeed[:, 0:1], _roll_r(qwin))
+                    qfeed = _roll_l(qfeed)
+            else:
+                dlt2 = _lo(d + one, W) - lo
+                adv = dlt2 == 1
+                twin_adv = jnp.where(
+                    lane == W - 1, tfeed[:, 0:1], _roll_l(twin)
+                )
+                qwin_stay = jnp.where(lane == 0, qfeed[:, 0:1], _roll_r(qwin))
+                twin = jnp.where(adv, twin_adv, twin)
+                qwin = jnp.where(adv, qwin, qwin_stay)
+                tfeed = jnp.where(adv, _roll_l(tfeed), tfeed)
+                qfeed = jnp.where(adv, qfeed, _roll_l(qfeed))
+
+            return (a2, a3, twin, qwin, tfeed, qfeed, best, best_lane,
+                    d_best, alive, d + one)
+
+        return step
 
     def load_feed(ref, ptr):
         """Feed refill at an arbitrary offset: Mosaic only allows dynamic
@@ -230,36 +285,63 @@ def _kernel(t_ref, q_ref, tl_ref, ql_ref, score_ref, te_ref, qe_ref,
         rot = pltpu.roll(win, (jnp.int32(win_w) - off) % jnp.int32(win_w), 1)
         return rot[:, :chunk_steps]
 
-    def chunk(st):
-        (a1, a2, twin, qwin, best, best_lane, d_best, alive, d, t_ptr,
-         q_ptr, c) = st
-        tfeed = load_feed(t_ref, t_ptr)
-        qfeed = load_feed(q_ref, q_ptr)
-        out = jax.lax.fori_loop(
-            0, chunk_steps, step,
-            (a1, a2, twin, qwin, tfeed, qfeed, best, best_lane, d_best,
-             alive, d),
-            unroll=chunk_steps,  # Mosaic fori supports only unroll=1 or
-            # full; full unroll removes per-step loop overhead
-        )
-        (a1, a2, twin, qwin, _tf, _qf, best, best_lane, d_best, alive,
-         d_end) = out
-        # T chars consumed this chunk = total band advance = lo(d_end)-lo(d)
-        adv = _lo(d_end, W) - _lo(d, W)
-        t_ptr = t_ptr + adv
-        q_ptr = q_ptr + (jnp.int32(chunk_steps) - adv)
-        return (a1, a2, twin, qwin, best, best_lane, d_best, alive, d_end,
-                t_ptr, q_ptr, c + jnp.int32(1))
+    def make_chunk(mode):
+        def chunk(st):
+            (a1, a2, twin, qwin, best, best_lane, d_best, alive, d, t_ptr,
+             q_ptr, c) = st
+            tfeed = load_feed(t_ref, t_ptr)
+            qfeed = load_feed(q_ref, q_ptr)
+            inner = (a1, a2, twin, qwin, tfeed, qfeed, best, best_lane,
+                     d_best, alive, d)
+            # python-unrolled (Mosaic fori supports only unroll=1 or
+            # full; full unroll removes per-step loop overhead, and the
+            # python step index feeds the static steady-parity selects)
+            for s in range(chunk_steps):
+                inner = make_step(mode, s)(inner)
+            (a1, a2, twin, qwin, _tf, _qf, best, best_lane, d_best,
+             alive, d_end) = inner
+            # T chars consumed this chunk = band advance = lo(d_end)-lo(d)
+            if mode == "ramp":
+                adv = jnp.int32(0)
+            elif mode == "steady":
+                adv = jnp.int32(chunk_steps // 2)
+            else:
+                adv = _lo(d_end, W) - _lo(d, W)
+            t_ptr = t_ptr + adv
+            q_ptr = q_ptr + (jnp.int32(chunk_steps) - adv)
+            return (a1, a2, twin, qwin, best, best_lane, d_best, alive,
+                    d_end, t_ptr, q_ptr, c + jnp.int32(1))
 
-    def cond(st):
-        # int32 reduction, not jnp.any: Mosaic lowers bool reductions via
-        # floats, which become float64 under x64 and fail to scalarize
-        any_alive = jnp.max(st[7]) > 0
-        return any_alive & (st[11] < jnp.int32(max_chunks))
+        return chunk
+
+    def cond_until(limit: int):
+        def cond(st):
+            # int32 reduction, not jnp.any: Mosaic lowers bool reductions
+            # via floats, which become float64 under x64 and fail to
+            # scalarize
+            any_alive = jnp.max(st[7]) > 0
+            return any_alive & (st[11] < jnp.int32(limit))
+
+        return cond
 
     st = (a1, a2, twin, qwin, best, best_lane, d_best, alive,
           jnp.int32(2), jnp.int32(W - 1), jnp.int32(2), jnp.int32(0))
-    st = jax.lax.while_loop(cond, chunk, st)
+    # trajectory phases as chunk-index ranges (module docstring): pure
+    # ramp while the whole chunk keeps d+1 <= W-1, pure steady once
+    # d0 >= W+1, one generic chunk at the boundary
+    n_ramp = max(0, (W - 3) // chunk_steps)
+    c_steady = (W - 1 + chunk_steps - 1) // chunk_steps
+    if n_ramp > 0:
+        st = jax.lax.while_loop(
+            cond_until(min(n_ramp, max_chunks)), make_chunk("ramp"), st
+        )
+    if c_steady > n_ramp:
+        st = jax.lax.while_loop(
+            cond_until(min(c_steady, max_chunks)), make_chunk("generic"), st
+        )
+    st = jax.lax.while_loop(
+        cond_until(max_chunks), make_chunk("steady"), st
+    )
     best, best_lane, d_best = st[4], st[5], st[6]
     # final coordinate selection: min (d, lane) among lanes holding the
     # global best == first step reaching it, then lowest lane (the exact
@@ -312,12 +394,11 @@ def extend_batch_pallas(
     # — i16 vectors are second-class and lower by unpacking to 32-bit,
     # so there is no lane-density win to recover; int32 is the fast path.
     use_i16 = False and 2 * L + CHUNK < I16_MAX_D
-    # pairs per block, from measurement: per-step cost has a ~2-vreg
-    # fixed floor (band 128 == band 256 at bb=8) and grows linearly
-    # past it (bb=16 at W=256 is 1.4x SLOWER per base; bb=32 at W=128
-    # only matches bb=8). 8 pairs x 256 lanes is the sweet spot; at
-    # narrow bands wider blocks recover the idle vreg.
-    bb = 16 if use_i16 else (32 if W <= 128 else 8)
+    # pairs per block: re-measured after the static-trajectory step
+    # specialization — 16 pairs x 256 lanes now wins (see the packed
+    # entry's note; pre-specialization bb=16 measured 1.4x slower per
+    # base, so this default tracks the step body).
+    bb = 16 if use_i16 else (32 if W <= 128 else 16)
     seq_dt = jnp.int16 if use_i16 else jnp.int32
 
     # pad: B to blocks of bb; L so windows/feeds never read out of range
@@ -385,7 +466,17 @@ def extend_batch_pallas_packed(
         max_steps = 2 * L
     chunk_steps = CHUNK_INTERPRET if interpret else CHUNK
     max_chunks = -(-int(max_steps) // chunk_steps) + 1
-    bb = 32 if W <= 128 else 8
+    import os as _os
+
+    # 16 pairs/block re-measured BEST after the static-trajectory step
+    # specialization (366 ms vs 545 at bb=8, 527 at bb=32 on the 8192x
+    # mixed-length probe): with ~40% fewer ops per step the wider block
+    # now fills the VPU instead of overflowing it. (Pre-specialization
+    # bb=16 measured 1.4x SLOWER per base — defaults are empirical and
+    # re-measured when the step body changes; override: BELLA_PALLAS_BB.)
+    bb = int(_os.environ.get("BELLA_PALLAS_BB", 0)) or (
+        32 if W <= 128 else 16
+    )
     u32 = jnp.uint32
 
     Bp = -(-B // bb) * bb
