@@ -468,14 +468,16 @@ def extend_batch_pallas_packed(
     max_chunks = -(-int(max_steps) // chunk_steps) + 1
     import os as _os
 
-    # 16 pairs/block re-measured BEST after the static-trajectory step
-    # specialization (366 ms vs 545 at bb=8, 527 at bb=32 on the 8192x
-    # mixed-length probe): with ~40% fewer ops per step the wider block
-    # now fills the VPU instead of overflowing it. (Pre-specialization
-    # bb=16 measured 1.4x SLOWER per base — defaults are empirical and
-    # re-measured when the step body changes; override: BELLA_PALLAS_BB.)
+    # 24 pairs/block re-measured BEST after the static-trajectory step
+    # specialization (8192x mixed-length probe: 545 ms at bb=8, 366 at
+    # 16, 287 at 24, 527 at 32 — non-monotonic: past 3 sublane tiles
+    # the step body spills): with ~40% fewer ops per step the wider
+    # block now fills the VPU instead of overflowing it.
+    # (Pre-specialization bb=16 measured 1.4x SLOWER per base —
+    # defaults are empirical and re-measured when the step body
+    # changes; override: BELLA_PALLAS_BB.)
     bb = int(_os.environ.get("BELLA_PALLAS_BB", 0)) or (
-        32 if W <= 128 else 16
+        32 if W <= 128 else 24
     )
     u32 = jnp.uint32
 
