@@ -398,7 +398,7 @@ def extend_batch_pallas(
     # specialization — 16 pairs x 256 lanes now wins (see the packed
     # entry's note; pre-specialization bb=16 measured 1.4x slower per
     # base, so this default tracks the step body).
-    bb = 16 if use_i16 else (32 if W <= 128 else 16)
+    bb = 16 if use_i16 else (32 if W <= 128 else (16 if W <= 256 else 8))
     seq_dt = jnp.int16 if use_i16 else jnp.int32
 
     # pad: B to blocks of bb; L so windows/feeds never read out of range
@@ -477,7 +477,7 @@ def extend_batch_pallas_packed(
     # defaults are empirical and re-measured when the step body
     # changes; override: BELLA_PALLAS_BB.)
     bb = int(_os.environ.get("BELLA_PALLAS_BB", 0)) or (
-        32 if W <= 128 else 24
+        32 if W <= 128 else (24 if W <= 256 else 8)
     )
     u32 = jnp.uint32
 

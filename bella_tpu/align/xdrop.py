@@ -669,16 +669,55 @@ def align_candidates(
         # runtime guard for the static centered band: a pair whose
         # extension consumed target/query lengths differing by ~W/2 hit
         # the band edge — its true optimum may drift beyond the static
-        # trajectory (the adaptive-band jax backend would follow it).
-        # Surfaced as a counter so pathological indel drift is visible,
-        # never silent (see pallas_xdrop.py module docstring).
-        drift = np.abs((end_h - beg_h) - (end_v - beg_v))
-        saturated = int((drift >= pallas_band // 2 - 2).sum())
-        if saturated:
-            from bella_tpu.utils.log import log
+        # trajectory (the adaptive-band jax backend would follow it,
+        # xavier/simdutils.h:263-289). Saturated pairs are re-extended
+        # once at DOUBLE band (same packed reads, one extra dispatch);
+        # anything still saturated after the rescue is logged, never
+        # silent (see pallas_xdrop.py module docstring).
+        from bella_tpu.utils.log import log
 
+        drift = np.abs((end_h - beg_h) - (end_v - beg_v))
+        sat_idx = np.nonzero(drift >= pallas_band // 2 - 2)[0]
+        if len(sat_idx) and getattr(config, "band_rescue", True):
+            rb = 1 << max(6, int(len(sat_idx) - 1).bit_length())
+            rb = min(rb, batch_size)
+            for s in range(0, len(sat_idx), rb):
+                sel = sat_idx[s : s + rb]
+                nv = len(sel)
+                selp = (np.concatenate([sel, np.zeros(rb - nv, sel.dtype)])
+                        if nv < rb else sel)
+                validp = np.arange(rb) < nv
+                seq_len = int(tier[selp[:nv]].max())
+                out = _seed_extend_batch_pallas(
+                    reads_dev, lens_dev,
+                    _put(pairs.read_h[selp]), _put(pairs.read_v[selp]),
+                    _put(pairs.pos_h[selp].astype(np.int32)),
+                    _put(pairs.pos_v[selp].astype(np.int32)),
+                    _put(pairs.seed_rc[selp]), _put(validp),
+                    xdrop=int(config.xdrop), kmer_size=k,
+                    band=2 * pallas_band, interpret=interpret,
+                    max_steps=max_steps, seq_len=seq_len,
+                )
+                arr = np.asarray(out)
+                sel = selp[:nv]
+                score[sel] = arr[0, :nv]
+                beg_h[sel] = arr[1, :nv]
+                end_h[sel] = arr[2, :nv]
+                beg_v[sel] = arr[3, :nv]
+                end_v[sel] = arr[4, :nv]
+            drift2 = np.abs(
+                (end_h[sat_idx] - beg_h[sat_idx])
+                - (end_v[sat_idx] - beg_v[sat_idx])
+            )
+            still = int((drift2 >= pallas_band - 2).sum())
+            log("bandDriftRescued",
+                f"{len(sat_idx)} pairs re-extended at band "
+                f"{2 * pallas_band}"
+                + (f"; {still} still saturated (use --band-width or the "
+                   "jax backend)" if still else ""))
+        elif len(sat_idx):
             log("bandDriftSaturated",
-                f"{saturated} pairs at the static band edge "
+                f"{len(sat_idx)} pairs at the static band edge "
                 f"(band {pallas_band}); consider --band-width or the jax "
                 "backend for these")
 

@@ -45,6 +45,9 @@ class BellaConfig:
                                    # adaptive-band pure-JAX elsewhere)
     pallas_band: int = 256         # static centered band of the Pallas kernel
                                    # (wider than band_width: no adaptive recentering)
+    band_rescue: bool = True       # re-extend pairs that saturate the static
+                                   # band through one 2x-band kernel pass
+                                   # (exactness for pathological indel drift)
     align_batch: int = 4096        # alignment pairs per device batch
                                    # (ref: 30000/GPU, include/align.hpp:35)
     max_steps: Optional[int] = None  # wavefront step cap; None = len-derived

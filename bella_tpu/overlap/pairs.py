@@ -1450,7 +1450,14 @@ def _detect_overlaps_split(reads, config: BellaConfig, budget: float,
     offsets = reads.offsets.astype(np.int64)
     max_len = int(reads.lengths.max()) if R else 0
 
-    splits = max(int(np.ceil(total * 100 / budget)), 2)
+    # 200 B/position: the per-pass working set is the binding constraint
+    # — the region's sort -> count -> compact chain keeps ~50 B/row in
+    # flight WHILE the ~40%-of-budget accumulator is resident (the
+    # accumulator self-scales via `group`, so more splits shrink the
+    # per-pass peak without shrinking throughput). 100 B/position OOMed
+    # at 252 Mbp once the per-pass compacted blocks and the 8-stream
+    # extractor scan joined the peak.
+    splits = max(int(np.ceil(total * 200 / budget)), 2)
     # chunk size: the partition sort (5 operands, x2 out-of-place) is
     # the chunk-resident cost
     cb = _size_bucket(max(min(int(budget / 240), total), max_len + 8, 1 << 16))

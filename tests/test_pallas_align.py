@@ -229,3 +229,44 @@ def test_align_check_switch(monkeypatch):
     padded, lens = pad_reads(reads)
     aln = align_candidates(padded, lens, pairs, cfg)
     assert (aln.score > 0).any()
+
+
+def test_band_rescue_recovers_drift():
+    """A pair whose optimal path drifts ~400 lanes off-center saturates
+    the static 256 band (offset from band start = d/18 + 128 crosses
+    255 at d ~ 2300 of 3600); the band-rescue pass (one 2x-band
+    re-extension, xdrop.py align_candidates) must recover the
+    adaptive-band score. With rescue disabled the truncated score
+    documents the deviation."""
+    rng = np.random.default_rng(5)
+    t = rng.integers(0, 4, 2000).astype(np.int8)
+    keep = np.arange(len(t)) % 5 != 4  # gradual drift: 1 lane / 5 steps
+    q = t[keep].copy()
+
+    reads = ReadSet.from_sequences(
+        ["".join("ACGT"[c] for c in s) for s in (t, q)]
+    )
+    padded, lens = pad_reads(reads)
+    one = np.array([1], np.int32)
+    zero = np.array([0], np.int32)
+    pairs = CandidatePairs(
+        read_h=one, read_v=zero, pos_h=zero.copy(), pos_v=zero.copy(),
+        count=one.copy(), matches=one.copy(),
+        overlap_est=np.array([1600], np.int32),
+        seed_rc=np.zeros(1, bool),
+    )
+
+    cfg_jax = BellaConfig(aligner_backend="jax", band_width=128)
+    ref = align_candidates(padded, lens, pairs, cfg_jax)
+    score_adaptive = int(ref.score[0])
+    assert score_adaptive >= 900  # adaptive band follows the drift
+
+    cfg_off = BellaConfig(aligner_backend="pallas", band_rescue=False)
+    off = align_candidates(padded, lens, pairs, cfg_off)
+    assert int(off.score[0]) < score_adaptive  # static band truncates
+
+    cfg_on = BellaConfig(aligner_backend="pallas", band_rescue=True)
+    on = align_candidates(padded, lens, pairs, cfg_on)
+    # band 512 covers the +-256-lane corridor: the rescue reaches the
+    # same optimum (termination granularity may differ by < xdrop)
+    assert int(on.score[0]) >= score_adaptive - int(cfg_on.xdrop)
