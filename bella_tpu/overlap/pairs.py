@@ -715,9 +715,23 @@ def _count_sorted(
     counts = seg.seg_sum_bcast(ones, kb)
     rank = seg.seg_cumsum(ones, kb) - 1
     reliable = (counts >= lower) & (counts <= upper) & (~is_sentinel)
-    nnz = jnp.sum(reliable)
+    # nnzs[0] = reliable rows; nnzs[d] = reliable rows in segments with
+    # count > d, for d in 1..upper-1 — the per-lag prefix sizes of the
+    # count-descending compacted stream (see _compact_sort /
+    # _fused_emit_packed lag_sizes): lag d can only pair rows of
+    # segments with > d occurrences, so its emission slice shrinks to
+    # nnzs[d] (22% at lag 2, <1% at lag 5 on long-read error k-mers).
+    # One stacked readback ships all of them with nnz.
+    # ONE fused (upper, n) broadcast-compare reduction instead of upper
+    # separate full-stream sums (those cost ~2 ms each unfused); row 0
+    # compares counts > 0, true for every reliable row, so nnzs[0] = nnz
+    dv = jnp.arange(upper, dtype=jnp.int32)[:, None]
+    nnzs = jnp.sum(
+        (reliable[None, :] & (counts[None, :] > dv)).astype(jnp.int32),
+        axis=1,
+    )
     num_kmers = jnp.sum(kb & reliable)
-    return reliable, sr, sp, sc, rank, nnz, num_kmers
+    return reliable, sr, sp, sc, rank, counts, nnzs, num_kmers
 
 
 def _fused_count(
@@ -745,11 +759,10 @@ def _fused_count(
     khi, klo, p1, sc, p2 = _sort_kmers(
         khi, klo, p1, sc, p2, pack_ridpos=pack_ridpos, pack_sc=pack_sc
     )
-    reliable, sr, sp, sc, rank, nnz, num_kmers = _count_sorted(
+    return _count_sorted(
         khi, klo, p1, sc, p2,
         lower=lower, upper=upper, pack_ridpos=pack_ridpos, pack_sc=pack_sc,
     )
-    return reliable, sr, sp, sc, rank, nnz, num_kmers
 
 
 @partial(jax.jit, static_argnames=("kmer_size", "upper", "bin_size"))
@@ -799,10 +812,12 @@ def _fused_emit(
     return h, v, bin_id, pos_h, pos_v, flip, ov
 
 
-@partial(jax.jit, static_argnames=("kmer_size", "upper", "bin_size"))
+@partial(jax.jit, static_argnames=("kmer_size", "upper", "bin_size",
+                                   "lag_sizes"))
 def _fused_emit_packed(
     n_rows, sr, sp, sc, rank, read_lengths,
     kmer_size: int, upper: int, bin_size: int,
+    lag_sizes: tuple = (),
 ):
     """Packed phase 2+3: when read ids and positions fit 16 bits (the
     reference caps positions at 16 bits too, src/main.cpp:193), the whole
@@ -830,11 +845,27 @@ def _fused_emit_packed(
     len_s = read_lengths[jnp.clip(sr, 0, read_lengths.shape[0] - 1)]
     hvs, k3s, pvs = [], [], []
     for d in range(1, upper):
-        ra, rb = sr[d:], sr[:-d]
-        pa, pb = sp[d:], sp[:-d]
-        ca, cb = sc[d:], sc[:-d]
-        la, lb = len_s[d:], len_s[:-d]
-        ok = (rank[d:] >= d) & (ra != rb) & live[d:] & live[:-d]
+        # lag_sizes[d-1]: with the count-DESC compaction (see
+        # _compact_sort cnt) every row usable at lag d (segment count
+        # > d) lives in a prefix whose bucketed size the driver read
+        # back — slice it so lag 5 streams ~1% of the rows instead of
+        # 100%. Rows past the true prefix inside the bucket belong to
+        # count <= d segments, so their rank < d masks them exactly as
+        # before; no extra masking needed.
+        if lag_sizes:
+            L = min(lag_sizes[d - 1], sr.shape[0])
+            if L <= d:
+                continue
+            srd, spd, scd = sr[:L], sp[:L], sc[:L]
+            lend, rankd, lived = len_s[:L], rank[:L], live[:L]
+        else:
+            srd, spd, scd = sr, sp, sc
+            lend, rankd, lived = len_s, rank, live
+        ra, rb = srd[d:], srd[:-d]
+        pa, pb = spd[d:], spd[:-d]
+        ca, cb = scd[d:], scd[:-d]
+        la, lb = lend[d:], lend[:-d]
+        ok = (rankd[d:] >= d) & (ra != rb) & lived[d:] & lived[:-d]
         h_is_a = ra > rb
         h = jnp.where(h_is_a, ra, rb).astype(u32)
         v = jnp.where(h_is_a, rb, ra).astype(u32)
@@ -860,6 +891,16 @@ def _fused_emit_packed(
     hv = jnp.concatenate(hvs)
     k3 = jnp.concatenate(k3s)
     pv = jnp.concatenate(pvs)
+    if lag_sizes:
+        # pad to a bucketed total so the chain stages compile once per
+        # bucket, not once per lag_sizes combination
+        total = hv.shape[0]
+        padded = _size_bucket(max(int(total), 1 << 12))
+        if padded > total:
+            pad = padded - total
+            hv = jnp.concatenate([hv, jnp.full((pad,), u32(0xFFFFFFFF))])
+            k3 = jnp.concatenate([k3, jnp.zeros((pad,), u32)])
+            pv = jnp.concatenate([pv, jnp.zeros((pad,), pv.dtype)])
     # most emitted rows are sentinels (segments shorter than the lag):
     # report the live count so the driver can compact before the sort
     n_live = jnp.sum((hv != u32(0xFFFFFFFF)).astype(jnp.int32))
@@ -867,7 +908,7 @@ def _fused_emit_packed(
 
 
 @jax.jit
-def _compact_sort(live, sr, sp, sc, rank):
+def _compact_sort(live, sr, sp, sc, rank, cnt=None):
     """Sort half of the reliable-row compaction: a stable single-key
     sort beats nonzero+gather by ~20x on this toolchain (gathers /
     scatters are the slow path; sorts are fast). The dead bit rides in
@@ -878,13 +919,43 @@ def _compact_sort(live, sr, sp, sc, rank):
     contiguous and in order, so downstream lag-pairing still works on
     the prefix.
 
+    With `cnt` (per-row segment counts), live rows additionally order
+    by DESCENDING count ahead of the stable index — every row of a
+    segment shares its count, so whole segments stay contiguous and the
+    rows usable at lag d (count > d) become a PREFIX whose size the
+    driver reads back with nnz (see _count_sorted nnzs /
+    _fused_emit_packed lag_sizes).
+
     Split from the size-slicing half so the driver can DISPATCH this
     sort before it blocks on the nnz readback (the slice size depends
     on nnz; the sort does not) — the ~27 ms relay round trip and the
     sort then overlap instead of serialising."""
     u32 = jnp.uint32
     n = live.shape[0]
-    key = ((~live).astype(u32) << u32(31)) | jax.lax.iota(u32, n)
+    if cnt is None:
+        key = ((~live).astype(u32) << u32(31)) | jax.lax.iota(u32, n)
+    else:
+        # dead bit 31 | (255 - count) bits 23-30 | row index bits 0-22;
+        # streams beyond 2^23 rows fall back to a stable sort on the
+        # short key (equal keys keep input order, preserving segments)
+        inv_cnt = u32(255) - jnp.minimum(cnt.astype(u32), u32(255))
+        if n <= (1 << 23):
+            key = (
+                ((~live).astype(u32) << u32(31))
+                | (inv_cnt << u32(23))
+                | jax.lax.iota(u32, n)
+            )
+        else:
+            key = ((~live).astype(u32) << u32(8)) | inv_cnt
+            ridpos = (sr.astype(u32) << u32(16)) | (sp.astype(u32) & u32(0xFFFF))
+            misc = (
+                (sc.astype(u32) << u32(8))
+                | jnp.minimum(rank.astype(u32), u32(255))
+            )
+            _, ridpos, misc = jax.lax.sort(
+                (key, ridpos, misc), num_keys=1, is_stable=True
+            )
+            return ridpos, misc
     ridpos = (sr.astype(u32) << u32(16)) | (sp.astype(u32) & u32(0xFFFF))
     misc = (
         (sc.astype(u32) << u32(8))
@@ -906,10 +977,10 @@ def _compact_slice(ridpos, misc, size: int):
     return sr, sp, sc, rank
 
 
-def _compact_reliable(live, sr, sp, sc, rank, size: int):
+def _compact_reliable(live, sr, sp, sc, rank, size: int, cnt=None):
     """Sort-based device compaction of reliable occurrence rows (see
     _compact_sort for the design; this wrapper runs both halves)."""
-    ridpos, misc = _compact_sort(live, sr, sp, sc, rank)
+    ridpos, misc = _compact_sort(live, sr, sp, sc, rank, cnt)
     return _compact_slice(ridpos, misc, size)
 
 
@@ -1588,17 +1659,19 @@ def _detect_overlaps_split(reads, config: BellaConfig, budget: float,
                     lower=config.lower_freq, upper=config.upper_freq,
                 )
             else:
-                reliable, sr, sp, scw, rank, nnz_p, nk_p = _count_sorted(
-                    khi_p, klo_p, rp_p, sc_p, None,
-                    lower=config.lower_freq, upper=config.upper_freq,
-                    pack_ridpos=True, pack_sc=True,
-                )
+                reliable, sr, sp, scw, rank, cnt_p, nnzs_p, nk_p = (
+                    _count_sorted(
+                        khi_p, klo_p, rp_p, sc_p, None,
+                        lower=config.lower_freq, upper=config.upper_freq,
+                        pack_ridpos=True, pack_sc=True,
+                    ))
+                nnz_p = nnzs_p[0]
             # compaction sort dispatched before the nnz_p readback blocks
             # (see _compact_sort): the sort overlaps the relay round trip
             if wide:
                 comp = _compact_sort_wide(reliable, sr, sp, scw, rank)
             else:
-                comp = _compact_sort(reliable, sr, sp, scw, rank)
+                comp = _compact_sort(reliable, sr, sp, scw, rank, cnt_p)
             n_p = int(nnz_p)
             num_kmers += int(nk_p)
             nnz_total += n_p
@@ -1808,14 +1881,14 @@ def detect_overlaps(reads, config: BellaConfig):
         khi, klo, p1, sc0, p2 = _sort_kmers(
             khi, klo, p1, sc0, p2, pack_ridpos=packed, pack_sc=pack_sc
         )
-        live, sr, sp, sc, rank, nnz, num_kmers = _count_sorted(
+        live, sr, sp, sc, rank, cnt, nnzs, num_kmers = _count_sorted(
             khi, klo, p1, sc0, p2,
             lower=config.lower_freq, upper=config.upper_freq,
             pack_ridpos=packed, pack_sc=pack_sc,
         )
         del khi, klo, p1, sc0, p2
     else:
-        live, sr, sp, sc, rank, nnz, num_kmers = _fused_count(
+        live, sr, sp, sc, rank, cnt, nnzs, num_kmers = _fused_count(
             jnp.asarray(codes_packed),
             jnp.asarray(lengths),
             jnp.asarray(offsets),
@@ -1838,9 +1911,10 @@ def detect_overlaps(reads, config: BellaConfig):
         # so the sort and the relay round trip overlap; dropping the
         # full-stream references lets the backend free ~14 bytes/position
         # of HBM before the emit/chain stages allocate.
-        comp = _compact_sort(live, sr, sp, sc, rank)
-        del live, sr, sp, sc, rank
-        n = int(nnz)
+        comp = _compact_sort(live, sr, sp, sc, rank, cnt)
+        del live, sr, sp, sc, rank, cnt
+        narr = np.asarray(nnzs)  # one readback: nnz + per-lag prefix rows
+        n = int(narr[0])
         if n == 0:
             return CandidatePairs.empty(), int(num_kmers), 0
         # _size_bucket (<=12.5% padding) instead of pow2 (up to 2x): the
@@ -1849,9 +1923,24 @@ def detect_overlaps(reads, config: BellaConfig):
         size = min(_size_bucket(max(n, 1 << 14)), int(comp[0].shape[0]))
         csr, csp, csc, crank = _compact_slice(*comp, size=size)
         del comp
+        # per-lag emission prefixes (pow2 buckets of the count>d row
+        # counts, monotone nonincreasing): lag d streams only the
+        # segments that can pair at lag d — 3-4x fewer emitted rows
+        # into the chain sort on long-read error k-mer distributions
+        lag_sizes, prev = [], size
+        for d in range(1, config.upper_freq):
+            sd = int(narr[d]) if d < len(narr) else 0
+            b = 1 << max(10, int(sd - 1).bit_length()) if sd > 0 else 1 << 10
+            b = min(b, prev, size)
+            lag_sizes.append(b)
+            prev = b
+        import os as _os
+        if _os.environ.get("BELLA_NO_LAG_SLICES"):
+            lag_sizes = [size] * (config.upper_freq - 1)
         hv, k3, pv, _n_cand = _fused_emit_packed(
-            nnz.astype(jnp.int32), csr, csp, csc, crank, lengths_dev,
+            nnzs[0].astype(jnp.int32), csr, csp, csc, crank, lengths_dev,
             kmer_size=k, upper=config.upper_freq, bin_size=config.bin_size,
+            lag_sizes=tuple(lag_sizes),
         )
         # the chain's scans cover only the live prefix of the sorted
         # stream — the full-stream materialisation is the memory hog at
@@ -1863,8 +1952,9 @@ def detect_overlaps(reads, config: BellaConfig):
             lengths_np=reads.lengths,
         )
         del hv, k3, pv, csr, csp, csc, crank
-        return pairs, int(num_kmers), int(nnz)
+        return pairs, int(num_kmers), n
     else:
+        nnz = nnzs[0]
         h, v, bin_id, pos_h, pos_v, flip, ov = _fused_emit(
             live, sr, sp, sc, rank, lengths_dev,
             kmer_size=k,

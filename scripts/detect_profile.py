@@ -32,11 +32,12 @@ cbj, lj, oj = jnp.asarray(cb), jnp.asarray(lengths), jnp.asarray(offsets)
 nr = jnp.int32(reads.num_reads)
 ext = t("extract(phased)", pp._extract_kmers_phased, cbj, lj, oj, nr, kmer_size=k, pack_ridpos=True)
 srt = t("sort_kmers", pp._sort_kmers, *ext, pack_ridpos=True, pack_sc=True)
-cnt = t("count_sorted", pp._count_sorted, *srt, lower=2, upper=8, pack_ridpos=True, pack_sc=True)
-live, sr, sp, sc, rank, nnz, nk = cnt
+cs_out = t("count_sorted", pp._count_sorted, *srt, lower=2, upper=8, pack_ridpos=True, pack_sc=True)
+live, sr, sp, sc, rank, cntc, nnzs, nk = cs_out
+nnz = nnzs[0]
 n = int(nnz)
 size = min(pp._size_bucket(max(n,1<<14)), int(sr.shape[0]))
-comp2 = t("compact_sort", pp._compact_sort, live, sr, sp, sc, rank)
+comp2 = t("compact_sort", pp._compact_sort, live, sr, sp, sc, rank, cntc)
 comp = t("compact_slice", pp._compact_slice, *comp2, size=size)
 ld = jnp.asarray(reads.lengths.astype(np.int32))
 emit = t("emit_packed", pp._fused_emit_packed, nnz.astype(jnp.int32), *comp, ld, kmer_size=k, upper=8, bin_size=500)

@@ -96,14 +96,14 @@ def test_packed_stages_match_unpacked():
     )
     cfg = BellaConfig()
     k = cfg.kmer_size
-    live, sr, sp, sc, rank, nnz, num_kmers = _fused_count(
+    live, sr, sp, sc, rank, cnt, nnzs, num_kmers = _fused_count(
         jnp.asarray(reads.codes),
         jnp.asarray(reads.lengths.astype(np.int32)),
         jnp.asarray(reads.offsets.astype(np.int32)),
         kmer_size=k, lower=cfg.lower_freq, upper=cfg.upper_freq, use_hopc=False,
     )
     lengths = jnp.asarray(reads.lengths.astype(np.int32))
-    n = int(nnz)
+    n = int(nnzs[0])
     size = min(1 << max(14, (n - 1).bit_length()), int(sr.shape[0]))
     csr, csp, csc, crank = _compact_reliable(live, sr, sp, sc, rank, size)
     hv, k3, pv, n_live = _fused_emit_packed(

@@ -44,8 +44,8 @@ def test_wide_stages_match_packed():
     )
     kw = dict(kmer_size=k, lower=cfg.lower_freq, upper=cfg.upper_freq)
 
-    live, sr, sp, sc, rank, nnz, nk = _fused_count(*args, pack_ridpos=True, **kw)
-    n = int(nnz)
+    live, sr, sp, sc, rank, cnt, nnzs, nk = _fused_count(*args, pack_ridpos=True, **kw)
+    n = int(nnzs[0])
     size = min(_size_bucket(max(n, 1 << 14)), int(sr.shape[0]))
     csr, csp, csc, crank = _compact_reliable(live, sr, sp, sc, rank, size)
     hv, k3, pv, _ = _fused_emit_packed(
