@@ -1115,23 +1115,40 @@ def _count_sorted_wide(khi, klo, rid, possc, lower: int, upper: int):
     rank = seg.seg_cumsum(ones, kb) - 1
     is_sentinel = (khi == u32(0xFFFFFFFF)) & (klo == u32(0xFFFFFFFF))
     reliable = (counts >= lower) & (counts <= upper) & (~is_sentinel)
-    nnz = jnp.sum(reliable)
+    # nnzs[0] = nnz, nnzs[d] = rows in segments with count > d (one
+    # fused broadcast reduction — see _count_sorted)
+    dv = jnp.arange(upper, dtype=jnp.int32)[:, None]
+    nnzs = jnp.sum(
+        (reliable[None, :] & (counts[None, :] > dv)).astype(jnp.int32),
+        axis=1,
+    )
     num_kmers = jnp.sum(kb & reliable)
-    return reliable, sr, sp, sc, rank, nnz, num_kmers
+    return reliable, sr, sp, sc, rank, counts, nnzs, num_kmers
 
 
 @jax.jit
-def _compact_sort_wide(live, sr, sp, sc, rank):
+def _compact_sort_wide(live, sr, sp, sc, rank, cnt=None):
     """Sort half of the wide-id reliable compaction (see _compact_sort:
     split so the sort dispatches before the nnz readback blocks). rid
     rides as its own u32 operand and rank is not clamped to 8 bits
     (upper_freq may reach 2^15)."""
     u32 = jnp.uint32
     n = live.shape[0]
-    key = ((~live).astype(u32) << u32(31)) | jax.lax.iota(u32, n)
+    if cnt is None:
+        key = ((~live).astype(u32) << u32(31)) | jax.lax.iota(u32, n)
+        stable = False
+    else:
+        # count-DESC on a short 15-bit inverse-count key (wide bounds
+        # reach upper_freq = 2^15, so an 8-bit clamp would scramble the
+        # count>d prefix property for lags >= 255); stability preserves
+        # segment contiguity (measured: stable == unstable sort cost)
+        inv_cnt = u32(0x7FFF) - jnp.minimum(cnt.astype(u32), u32(0x7FFF))
+        key = ((~live).astype(u32) << u32(15)) | inv_cnt
+        stable = True
     possc = (sp.astype(u32) << u32(1)) | sc.astype(u32)
     _, rid2, possc2, rank2 = jax.lax.sort(
-        (key, sr.astype(u32), possc, rank.astype(u32)), num_keys=1
+        (key, sr.astype(u32), possc, rank.astype(u32)), num_keys=1,
+        is_stable=stable,
     )
     return rid2, possc2, rank2
 
@@ -1147,10 +1164,10 @@ def _compact_slice_wide(rid2, possc2, rank2, size: int):
     return sr, sp, sc, rank
 
 
-def _compact_reliable_wide(live, sr, sp, sc, rank, size: int):
+def _compact_reliable_wide(live, sr, sp, sc, rank, size: int, cnt=None):
     """Reliable-row compaction with wide ids (both halves)."""
-    return _compact_slice_wide(*_compact_sort_wide(live, sr, sp, sc, rank),
-                               size=size)
+    return _compact_slice_wide(
+        *_compact_sort_wide(live, sr, sp, sc, rank, cnt), size=size)
 
 
 def _fused_count_wide(
@@ -1174,10 +1191,12 @@ def _fused_count_wide(
     return _count_sorted_wide(khi, klo, rid, possc, lower=lower, upper=upper)
 
 
-@partial(jax.jit, static_argnames=("kmer_size", "upper", "bin_size"))
+@partial(jax.jit, static_argnames=("kmer_size", "upper", "bin_size",
+                                   "lag_sizes"))
 def _fused_emit_wide(
     n_rows, sr, sp, sc, rank, read_lengths,
     kmer_size: int, upper: int, bin_size: int,
+    lag_sizes: tuple = (),
 ):
     """Wide-id pair emission: candidate rows (h, v, k3, pv) with h and v
     as separate u32 operands (sentinel 0xFFFFFFFF on h and v); k3 packs
@@ -1192,11 +1211,22 @@ def _fused_emit_wide(
     len_s = read_lengths[jnp.clip(sr, 0, read_lengths.shape[0] - 1)]
     hs, vs, k3s, pvs = [], [], [], []
     for d in range(1, upper):
-        ra, rb = sr[d:], sr[:-d]
-        pa, pb = sp[d:], sp[:-d]
-        ca, cb = sc[d:], sc[:-d]
-        la, lb = len_s[d:], len_s[:-d]
-        ok = (rank[d:] >= d) & (ra != rb) & live[d:] & live[:-d]
+        # per-lag count>d prefix of the count-DESC stream (see
+        # _fused_emit_packed lag_sizes)
+        if lag_sizes:
+            L = min(lag_sizes[d - 1], sr.shape[0])
+            if L <= d:
+                continue
+            srd, spd, scd = sr[:L], sp[:L], sc[:L]
+            lend, rankd, lived = len_s[:L], rank[:L], live[:L]
+        else:
+            srd, spd, scd = sr, sp, sc
+            lend, rankd, lived = len_s, rank, live
+        ra, rb = srd[d:], srd[:-d]
+        pa, pb = spd[d:], spd[:-d]
+        ca, cb = scd[d:], scd[:-d]
+        la, lb = lend[d:], lend[:-d]
+        ok = (rankd[d:] >= d) & (ra != rb) & lived[d:] & lived[:-d]
         h_is_a = ra > rb
         h = jnp.where(h_is_a, ra, rb)
         v = jnp.where(h_is_a, rb, ra)
@@ -1222,6 +1252,16 @@ def _fused_emit_wide(
     v = jnp.concatenate(vs)
     k3 = jnp.concatenate(k3s)
     pv = jnp.concatenate(pvs)
+    if lag_sizes:
+        total = h.shape[0]
+        padded = _size_bucket(max(int(total), 1 << 12))
+        if padded > total:
+            pad = padded - total
+            sent = jnp.full((pad,), u32(0xFFFFFFFF))
+            h = jnp.concatenate([h, sent])
+            v = jnp.concatenate([v, sent])
+            k3 = jnp.concatenate([k3, jnp.zeros((pad,), u32)])
+            pv = jnp.concatenate([pv, jnp.zeros((pad,), pv.dtype)])
     n_live = jnp.sum((h != u32(0xFFFFFFFF)).astype(jnp.int32))
     return h, v, k3, pv, n_live
 
@@ -1654,10 +1694,12 @@ def _detect_overlaps_split(reads, config: BellaConfig, budget: float,
                 pack_ridpos=True, pack_sc=not wide,
             )
             if wide:
-                reliable, sr, sp, scw, rank, nnz_p, nk_p = _count_sorted_wide(
+                (reliable, sr, sp, scw, rank, cnt_p, nnzs_p,
+                 nk_p) = _count_sorted_wide(
                     khi_p, klo_p, rp_p, sc_p,
                     lower=config.lower_freq, upper=config.upper_freq,
                 )
+                nnz_p = nnzs_p[0]
             else:
                 reliable, sr, sp, scw, rank, cnt_p, nnzs_p, nk_p = (
                     _count_sorted(
@@ -1669,7 +1711,8 @@ def _detect_overlaps_split(reads, config: BellaConfig, budget: float,
             # compaction sort dispatched before the nnz_p readback blocks
             # (see _compact_sort): the sort overlaps the relay round trip
             if wide:
-                comp = _compact_sort_wide(reliable, sr, sp, scw, rank)
+                comp = _compact_sort_wide(reliable, sr, sp, scw, rank,
+                                          cnt_p)
             else:
                 comp = _compact_sort(reliable, sr, sp, scw, rank, cnt_p)
             n_p = int(nnz_p)
@@ -1833,13 +1876,14 @@ def detect_overlaps(reads, config: BellaConfig):
                 reads, k, pack_ridpos=False
             )
             khi, klo, rid, possc = _sort_kmers_wide(khi, klo, rid, pos, sc0)
-            reliable, sr, sp, sc, rank, nnz, num_kmers = _count_sorted_wide(
+            (reliable, sr, sp, sc, rank, cnt, nnzs,
+             num_kmers) = _count_sorted_wide(
                 khi, klo, rid, possc,
                 lower=config.lower_freq, upper=config.upper_freq,
             )
             del khi, klo, rid, possc, sc0, pos
         else:
-            reliable, sr, sp, sc, rank, nnz, num_kmers = _fused_count_wide(
+            reliable, sr, sp, sc, rank, cnt, nnzs, num_kmers = _fused_count_wide(
                 jnp.asarray(codes_packed),
                 jnp.asarray(lengths),
                 jnp.asarray(offsets),
@@ -1853,18 +1897,27 @@ def detect_overlaps(reads, config: BellaConfig):
         # dispatch the compaction sort BEFORE blocking on the nnz
         # readback: the sort (no size dependence) then runs on device
         # while the ~27 ms relay round trip is in flight
-        comp = _compact_sort_wide(reliable, sr, sp, sc, rank)
-        del reliable, sr, sp, sc, rank
-        n = int(nnz)
+        comp = _compact_sort_wide(reliable, sr, sp, sc, rank, cnt)
+        del reliable, sr, sp, sc, rank, cnt
+        narr = np.asarray(nnzs)
+        n = int(narr[0])
         if n == 0:
             return CandidatePairs.empty(), int(num_kmers), 0
         lengths_dev = jnp.asarray(reads.lengths.astype(np.int32))
         size = min(_size_bucket(max(n, 1 << 14)), int(comp[0].shape[0]))
         csr, csp, csc, crank = _compact_slice_wide(*comp, size=size)
         del comp
+        lag_sizes, prev = [], size
+        for d in range(1, config.upper_freq):
+            sd = int(narr[d]) if d < len(narr) else 0
+            b = 1 << max(10, int(sd - 1).bit_length()) if sd > 0 else 1 << 10
+            b = min(b, prev, size)
+            lag_sizes.append(b)
+            prev = b
         h, v, k3, pv, _n_cand = _fused_emit_wide(
-            nnz.astype(jnp.int32), csr, csp, csc, crank, lengths_dev,
+            nnzs[0].astype(jnp.int32), csr, csp, csc, crank, lengths_dev,
             kmer_size=k, upper=config.upper_freq, bin_size=config.bin_size,
+            lag_sizes=tuple(lag_sizes),
         )
         pairs = _chain_wide(
             h, v, k3, pv, lengths_dev, kmer_size=k,
@@ -1872,7 +1925,7 @@ def detect_overlaps(reads, config: BellaConfig):
             lengths_np=reads.lengths,
         )
         del h, v, k3, pv, csr, csp, csc, crank
-        return pairs, int(num_kmers), int(nnz)
+        return pairs, int(num_kmers), n
     if chunked:
         pack_sc = packed and k <= 31
         khi, klo, p1, sc0, p2 = _extract_stream_chunked(

@@ -55,9 +55,9 @@ def test_wide_stages_match_packed():
     packed = _chain_packed(hv, k3, pv, lengths, kmer_size=k,
                            bin_size=cfg.bin_size)
 
-    rel, wsr, wsp, wsc, wrank, wnnz, wnk = _fused_count_wide(*args, **kw)
-    assert (int(wnnz), int(wnk)) == (n, int(nk))
-    wsize = min(_size_bucket(max(int(wnnz), 1 << 14)), int(wsr.shape[0]))
+    rel, wsr, wsp, wsc, wrank, wcnt, wnnzs, wnk = _fused_count_wide(*args, **kw)
+    assert (int(wnnzs[0]), int(wnk)) == (n, int(nk))
+    wsize = min(_size_bucket(max(int(wnnzs[0]), 1 << 14)), int(wsr.shape[0]))
     csr2, csp2, csc2, crank2 = _compact_reliable_wide(
         rel, wsr, wsp, wsc, wrank, wsize
     )
