@@ -280,6 +280,21 @@ def pack_words(mat: np.ndarray) -> np.ndarray:
     return c.view(np.uint32)
 
 
+@partial(jax.jit, static_argnames=("R", "Wp"))
+def _expand_words(flat_w, off_w, R: int, Wp: int):
+    """Device: ragged word stream -> (R, Wp) padded word matrix.
+
+    flat_w concatenates each read's ceil(len/16) packed words (host
+    ships ~len/16 words per read instead of the corpus-max-width
+    matrix: 3-4x less relay traffic); off_w[r] is read r's first word.
+    One (R, Wp) gather expands it — beyond-length words hold later
+    reads' bases, which every consumer masks by lengths (the same
+    contract as pack_words' 'A' fill)."""
+    idx = off_w[:, None].astype(jnp.int32) + jnp.arange(Wp, dtype=jnp.int32)[None, :]
+    idx = jnp.clip(idx, 0, flat_w.shape[0] - 1)
+    return flat_w[idx]
+
+
 def _revbase_words(w):
     """Reverse the 16 bases within each u32 word (2-bit group reversal)."""
     u = jnp.uint32
@@ -534,9 +549,33 @@ def align_candidates(
 
     # the Pallas path ships packed words (4x smaller upload than int8
     # chars over the ~25 MB/s relay, 16x smaller kernel pad buffers);
-    # the jax oracle keeps the char matrix
-    reads_host = pack_words(reads_padded) if use_pallas else reads_padded
-    if mesh is not None:
+    # single-device it ships only each read's ceil(len/16) words as a
+    # ragged stream and expands to the padded matrix on device
+    # (_expand_words) — another 3-4x off the transfer. The jax oracle
+    # keeps the char matrix.
+    if use_pallas and mesh is None:
+        words_full = pack_words(reads_padded)
+        nw = -(-read_lengths.astype(np.int64) // 16)
+        mask_w = np.arange(words_full.shape[1])[None, :] < nw[:, None]
+        flat_w = words_full[mask_w]
+        off_w = np.concatenate(
+            [[0], np.cumsum(nw[:-1])]
+        ).astype(np.int32) if len(nw) else np.zeros(0, np.int32)
+        reads_dev = _expand_words(
+            jnp.asarray(flat_w), jnp.asarray(off_w),
+            R=words_full.shape[0], Wp=words_full.shape[1],
+        )
+        lens_dev = jnp.asarray(read_lengths.astype(np.int32))
+
+        def _put(a):
+            return jnp.asarray(a)
+
+        reads_host = None
+    else:
+        reads_host = pack_words(reads_padded) if use_pallas else reads_padded
+    if reads_host is None:
+        pass
+    elif mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
 
         _repl = NamedSharding(mesh, PartitionSpec())
