@@ -490,7 +490,11 @@ def _extract_kmers_phased(
     return khi, klo, p1, sc, p2
 
 
-_CHUNK_BASES = 3_000_000  # upload/extract pipeline quantum (~0.75 MB packed)
+_CHUNK_BASES = 24_000_000  # upload/extract pipeline quantum (~6 MB packed).
+# The relay's transfer rate is block-size dependent (measured: 12.8 MB/s
+# at 1 MB, 22 at 16 MB, 32 at 64 MB) and each dispatch pays ~27 ms, so
+# small quanta make big-corpus ingest upload-bound: at 140 Mbp, 6 MB
+# chunks cut 47 transfers to 6 and lift the effective rate ~1.6x.
 
 
 @partial(jax.jit, static_argnames=("kmer_size", "pack_ridpos"))
