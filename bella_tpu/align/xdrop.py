@@ -459,16 +459,23 @@ def _seed_extend_batch(
 @partial(jax.jit, static_argnames=(
     "xdrop", "kmer_size", "band", "interpret", "max_steps", "seq_len"))
 def _seed_extend_batch_pallas(
-    reads_w, lens_dev, bh, bv, ph_raw, pv, rc, valid,
+    reads_w, lens_dev, pairblk,
     xdrop: int, kmer_size: int, band: int, interpret: bool,
     max_steps: int = 0, seq_len: int = 0,
 ):
     """Pallas-backed variant: left and right extensions of the whole
     batch are fused into ONE kernel dispatch (2B grid blocks). reads_w
     is the packed-word matrix (pack_words): the gathers, barrel shifts,
-    and kernel feeds all run 16 bases per u32 word."""
+    and kernel feeds all run 16 bases per u32 word.
+
+    pairblk is ONE (6, B) int32 block — rows (read_h, read_v, pos_h,
+    pos_v, seed_rc, valid) — so each batch pays a single relay transfer
+    instead of six (every transfer carries a fixed ~tens-of-ms cost)."""
     from bella_tpu.align.pallas_xdrop import extend_batch_pallas_packed
 
+    bh, bv, ph_raw, pv = pairblk[0], pairblk[1], pairblk[2], pairblk[3]
+    rc = pairblk[4] != 0
+    valid = pairblk[5] != 0
     ext = _prepare_extensions_packed(
         reads_w, lens_dev, bh, bv, ph_raw, pv, rc, kmer_size, valid,
         seq_len=seq_len,
@@ -570,6 +577,7 @@ def align_candidates(
         def _put(a):
             return jnp.asarray(a)
 
+        _put_blk = _put
         reads_host = None
     else:
         reads_host = pack_words(reads_padded) if use_pallas else reads_padded
@@ -583,14 +591,23 @@ def align_candidates(
         reads_dev = jax.device_put(reads_host, _repl)
         lens_dev = jax.device_put(read_lengths.astype(np.int32), _repl)
 
+        _shard_blk = NamedSharding(
+            mesh, PartitionSpec(None, mesh.axis_names[0])
+        )
+
         def _put(a):
             return jax.device_put(a, _shard)
+
+        def _put_blk(a):
+            return jax.device_put(a, _shard_blk)
     else:
         reads_dev = jnp.asarray(reads_host)
         lens_dev = jnp.asarray(read_lengths.astype(np.int32))
 
         def _put(a):
             return jnp.asarray(a)
+
+        _put_blk = _put
 
     score = np.zeros(P, np.int32)
     beg_h = np.zeros(P, np.int32)
@@ -633,27 +650,35 @@ def align_candidates(
             sel_valid = batch_size
         valid = np.zeros(batch_size, bool)
         valid[:sel_valid] = True
-        args = (
-            reads_dev, lens_dev,
-            _put(pairs.read_h[sel]),
-            _put(pairs.read_v[sel]),
-            _put(pairs.pos_h[sel].astype(np.int32)),
-            _put(pairs.pos_v[sel].astype(np.int32)),
-            _put(pairs.seed_rc[sel]),
-            _put(valid),
-        )
         # batch sequence width = the batch's length tier (int: one
         # compiled shape per tier)
         seq_len = int(tier[sel[:sel_valid]].max()) if sel_valid else int(Lmax)
         if use_pallas:
+            # one stacked (6, B) transfer per batch (see
+            # _seed_extend_batch_pallas pairblk)
+            blk = _put_blk(np.stack([
+                pairs.read_h[sel].astype(np.int32),
+                pairs.read_v[sel].astype(np.int32),
+                pairs.pos_h[sel].astype(np.int32),
+                pairs.pos_v[sel].astype(np.int32),
+                pairs.seed_rc[sel].astype(np.int32),
+                valid.astype(np.int32),
+            ]))
             out = _seed_extend_batch_pallas(
-                *args, xdrop=int(config.xdrop), kmer_size=k,
-                band=pallas_band, interpret=interpret, max_steps=max_steps,
-                seq_len=seq_len,
+                reads_dev, lens_dev, blk, xdrop=int(config.xdrop),
+                kmer_size=k, band=pallas_band, interpret=interpret,
+                max_steps=max_steps, seq_len=seq_len,
             )
         else:
             out = _seed_extend_batch(
-                *args, int(config.xdrop), k, config.band_width,
+                reads_dev, lens_dev,
+                _put(pairs.read_h[sel]),
+                _put(pairs.read_v[sel]),
+                _put(pairs.pos_h[sel].astype(np.int32)),
+                _put(pairs.pos_v[sel].astype(np.int32)),
+                _put(pairs.seed_rc[sel]),
+                _put(valid),
+                int(config.xdrop), k, config.band_width,
                 max_steps=max_steps, seq_len=seq_len,
             )
         pending.append((sel, sel_valid, out))
@@ -727,12 +752,16 @@ def align_candidates(
                         if nv < rb else sel)
                 validp = np.arange(rb) < nv
                 seq_len = int(tier[selp[:nv]].max())
+                blk = _put_blk(np.stack([
+                    pairs.read_h[selp].astype(np.int32),
+                    pairs.read_v[selp].astype(np.int32),
+                    pairs.pos_h[selp].astype(np.int32),
+                    pairs.pos_v[selp].astype(np.int32),
+                    pairs.seed_rc[selp].astype(np.int32),
+                    validp.astype(np.int32),
+                ]))
                 out = _seed_extend_batch_pallas(
-                    reads_dev, lens_dev,
-                    _put(pairs.read_h[selp]), _put(pairs.read_v[selp]),
-                    _put(pairs.pos_h[selp].astype(np.int32)),
-                    _put(pairs.pos_v[selp].astype(np.int32)),
-                    _put(pairs.seed_rc[selp]), _put(validp),
+                    reads_dev, lens_dev, blk,
                     xdrop=int(config.xdrop), kmer_size=k,
                     band=2 * pallas_band, interpret=interpret,
                     max_steps=max_steps, seq_len=seq_len,

@@ -55,12 +55,16 @@ for s in range(0, P, batch_size):
     sels.append((sel, valid, seq_len))
 
 def run_batch(sel, valid, seq_len):
+    blk = jnp.asarray(np.stack([
+        pairs.read_h[sel].astype(np.int32),
+        pairs.read_v[sel].astype(np.int32),
+        pairs.pos_h[sel].astype(np.int32),
+        pairs.pos_v[sel].astype(np.int32),
+        pairs.seed_rc[sel].astype(np.int32),
+        valid.astype(np.int32),
+    ]))
     return xd._seed_extend_batch_pallas(
-        rwd, lend,
-        jnp.asarray(pairs.read_h[sel]), jnp.asarray(pairs.read_v[sel]),
-        jnp.asarray(pairs.pos_h[sel].astype(np.int32)),
-        jnp.asarray(pairs.pos_v[sel].astype(np.int32)),
-        jnp.asarray(pairs.seed_rc[sel]), jnp.asarray(valid),
+        rwd, lend, blk,
         xdrop=int(cfg.xdrop), kmer_size=k, band=256, interpret=False,
         max_steps=0, seq_len=seq_len)
 
