@@ -1579,7 +1579,6 @@ def _detect_overlaps_split(reads, config: BellaConfig, budget: float,
     cb = ((cb + 3) // 4) * 4
     region_cap = _size_bucket(total // splits * 7 // 5 + (1 << 14))
     cap_cp = _size_bucket(cb * 8 // (5 * splits) + 4096)
-    rel_cap = _size_bucket(max(total // 3, 1 << 16))
     # passes resident at once: the accumulator (13 B/row) may take ~40%
     # of the budget (count sorts run per region; the resident code
     # stream and chunk working set take the rest)
@@ -1634,11 +1633,11 @@ def _detect_overlaps_split(reads, config: BellaConfig, budget: float,
             jnp.asarray(offs_c), hi - lo, lo,
         ))
 
-    rel_parts = []   # (csr, csp, csc, crank, n_p) per pass
-    rel_off = 0
+    lengths_dev = jnp.asarray(reads.lengths.astype(np.int32))
+    emit_parts = []   # per-pass emitted candidate streams
+    ncands = []       # per-pass live-candidate device scalars
     num_kmers = 0
     nnz_total = 0
-    rel_drop = 0
     overflow = 0
     for g0 in range(0, splits, group):
         g1 = min(g0 + group, splits)
@@ -1681,12 +1680,13 @@ def _detect_overlaps_split(reads, config: BellaConfig, budget: float,
                 off[pi] += nv
             del khi, klo_a, ridpos, sc, starts
 
-        # per-pass count + reliable compaction. Compacted per-pass
-        # blocks are simply collected and concatenated — no
-        # preallocated accumulator, no dynamic-offset appends (and no
-        # fixed-width window that could clamp or clobber): pad tails
-        # between blocks are masked out of the emit by a per-row live
-        # mask.
+        # per-pass count + reliable compaction + EMISSION. Passes own
+        # disjoint k-mer sets, so lag pairing and chain segments never
+        # straddle passes: emitting per pass (with the count-DESC lag
+        # prefixes, see _fused_emit_packed lag_sizes) keeps only the
+        # ~2-3x-nnz_p candidate stream per pass instead of carrying all
+        # reliable rows to one (upper-1) x total emission — the chain
+        # sort shrinks ~3x and reliable rows are never capped/dropped.
         for pi in range(g1 - g0):
             sl_lo, sl_hi = pi * region_cap, (pi + 1) * region_cap
             # wide rows carry possc as their own operand (17 bits — no
@@ -1719,7 +1719,8 @@ def _detect_overlaps_split(reads, config: BellaConfig, budget: float,
                                           cnt_p)
             else:
                 comp = _compact_sort(reliable, sr, sp, scw, rank, cnt_p)
-            n_p = int(nnz_p)
+            narr_p = np.asarray(nnzs_p)
+            n_p = int(narr_p[0])
             num_kmers += int(nk_p)
             nnz_total += n_p
             if n_p == 0:
@@ -1729,58 +1730,64 @@ def _detect_overlaps_split(reads, config: BellaConfig, budget: float,
                 csr, csp, csc, crank = _compact_slice_wide(*comp, size=size_p)
             else:
                 csr, csp, csc, crank = _compact_slice(*comp, size=size_p)
-            nv = min(n_p, rel_cap - rel_off)
-            if nv < n_p:
-                rel_drop += n_p - nv
-            if nv <= 0:
-                continue
-            rel_parts.append((csr, csp, csc, crank, nv))
-            rel_off += nv
+            del comp
+            lag_sizes, prev = [], size_p
+            for d in range(1, config.upper_freq):
+                sd = int(narr_p[d]) if d < len(narr_p) else 0
+                b = (1 << max(10, int(sd - 1).bit_length())) if sd > 0 \
+                    else 1 << 10
+                b = min(b, prev, size_p)
+                lag_sizes.append(b)
+                prev = b
+            if wide:
+                h_p, v_p, k3_p, pv_p, nc_p = _fused_emit_wide(
+                    nnzs_p[0].astype(jnp.int32), csr, csp, csc, crank,
+                    lengths_dev, kmer_size=k, upper=config.upper_freq,
+                    bin_size=config.bin_size, lag_sizes=tuple(lag_sizes),
+                )
+                emit_parts.append((h_p, v_p, k3_p, pv_p))
+            else:
+                hv_p, k3_p, pv_p, nc_p = _fused_emit_packed(
+                    nnzs_p[0].astype(jnp.int32), csr, csp, csc, crank,
+                    lengths_dev, kmer_size=k, upper=config.upper_freq,
+                    bin_size=config.bin_size, lag_sizes=tuple(lag_sizes),
+                )
+                emit_parts.append((hv_p, k3_p, pv_p))
+            ncands.append(nc_p)
+            del csr, csp, csc, crank
         # the accumulator is dead weight between groups and after the
         # last one; free it before the next allocation / the emit stages
         del akhi, aklo, aridpos, asc
     if overflow:
         log("splitRoutingOverflowDropped", overflow)
-    if rel_drop:
-        log("splitReliableOverflowDropped", rel_drop)
     del chunks
-    if rel_off == 0:
-        return CandidatePairs.empty(), num_kmers, 0
+    if not emit_parts:
+        return CandidatePairs.empty(), num_kmers, nnz_total
 
-    lengths_dev = jnp.asarray(reads.lengths.astype(np.int32))
-    # concatenate the per-pass compacted blocks; live marks the valid
-    # prefix of each block (passes own disjoint k-mer sets, so segments
-    # never straddle block pads)
-    asr = jnp.concatenate([p[0] for p in rel_parts])
-    asp = jnp.concatenate([p[1] for p in rel_parts])
-    ascr = jnp.concatenate([p[2] for p in rel_parts])
-    arank = jnp.concatenate([p[3] for p in rel_parts])
-    live = jnp.concatenate([
-        jax.lax.iota(jnp.int32, p[0].shape[0]) < jnp.int32(p[4])
-        for p in rel_parts
-    ])
-    del rel_parts
+    # concatenate the per-pass candidate streams (each already padded
+    # with sentinels to its own bucket — sentinels sort to the end of
+    # the chain sort and are excluded from the live count)
+    n_cand = lambda: sum(int(c) for c in ncands)
     if wide:
-        h, v, k3, pv, n_cand = _fused_emit_wide(
-            live, asr, asp, ascr, arank, lengths_dev,
-            kmer_size=k, upper=config.upper_freq, bin_size=config.bin_size,
-        )
-        del asr, asp, ascr, arank, live
+        h = jnp.concatenate([p[0] for p in emit_parts])
+        v = jnp.concatenate([p[1] for p in emit_parts])
+        k3 = jnp.concatenate([p[2] for p in emit_parts])
+        pv = jnp.concatenate([p[3] for p in emit_parts])
+        del emit_parts
         pairs = _chain_wide(
             h, v, k3, pv, lengths_dev, kmer_size=k,
-            bin_size=config.bin_size, live_rows=lambda: int(n_cand),
+            bin_size=config.bin_size, live_rows=n_cand,
             lengths_np=reads.lengths,
         )
         del h, v, k3, pv
     else:
-        hv, k3, pv, n_cand = _fused_emit_packed(
-            live, asr, asp, ascr, arank, lengths_dev,
-            kmer_size=k, upper=config.upper_freq, bin_size=config.bin_size,
-        )
-        del asr, asp, ascr, arank, live
+        hv = jnp.concatenate([p[0] for p in emit_parts])
+        k3 = jnp.concatenate([p[1] for p in emit_parts])
+        pv = jnp.concatenate([p[2] for p in emit_parts])
+        del emit_parts
         pairs = _chain_packed(
             hv, k3, pv, lengths_dev, kmer_size=k, bin_size=config.bin_size,
-            live_rows=lambda: int(n_cand), lengths_np=reads.lengths,
+            live_rows=n_cand, lengths_np=reads.lengths,
         )
         del hv, k3, pv
     return pairs, num_kmers, nnz_total
@@ -1803,9 +1810,9 @@ def detect_overlaps(reads, config: BellaConfig):
         # use the fused split-count path — its accumulator groups passes
         # to the budget and re-extracts per group (the reference's
         # --split-count re-scan), so the binding constraint is the final
-        # emit/chain over the reliable rows (~10 B/position at typical
-        # reliable densities; reliable overflow is capped and logged,
-        # never silent). Beyond that, the host-staged path (the
+        # emit/chain over the per-pass lag-sliced candidate streams
+        # (~8 B/position at typical reliable densities; reliable rows
+        # are never capped). Beyond that, the host-staged path (the
         # reference's column-block staging, overlap.hpp:682-710).
         max_len = int(reads.lengths.max()) if reads.num_reads else 0
         common = (
