@@ -911,6 +911,12 @@ def _fused_emit_packed(
     return hv, k3, pv, n_live
 
 
+# row count beyond which the count-DESC compact key drops its iota and
+# relies on sort stability (23 index bits would overflow); tests
+# monkeypatch it to cover the stable branch on small streams
+_STABLE_SORT_ROWS = 1 << 23
+
+
 @jax.jit
 def _compact_sort(live, sr, sp, sc, rank, cnt=None):
     """Sort half of the reliable-row compaction: a stable single-key
@@ -943,7 +949,7 @@ def _compact_sort(live, sr, sp, sc, rank, cnt=None):
         # streams beyond 2^23 rows fall back to a stable sort on the
         # short key (equal keys keep input order, preserving segments)
         inv_cnt = u32(255) - jnp.minimum(cnt.astype(u32), u32(255))
-        if n <= (1 << 23):
+        if n <= _STABLE_SORT_ROWS:
             key = (
                 ((~live).astype(u32) << u32(31))
                 | (inv_cnt << u32(23))

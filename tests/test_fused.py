@@ -248,3 +248,26 @@ def test_split_multipass_groups_match_fused():
     a, b = key(split_pairs), key(ref_pairs)
     for f in a:
         assert (a[f] == b[f]).all(), f
+
+
+def test_compact_stable_branch_matches(monkeypatch):
+    """Streams beyond _STABLE_SORT_ROWS use the short stable-sort
+    compact key (no room for the iota tiebreak): force that branch on a
+    small corpus and require identical detection output."""
+    from bella_tpu.overlap import pairs as pp
+
+    g = random_genome(9000, seed=23)
+    reads, _ = sample_reads(
+        g, 60, mean_len=1200, min_len=500, error_rate=0.12, seed=24,
+        circular=False,
+    )
+    cfg = BellaConfig()
+    ref, nk_ref, nnz_ref = detect_overlaps(reads, cfg)
+    monkeypatch.setattr(pp, "_STABLE_SORT_ROWS", 1024)
+    pp._compact_sort.clear_cache()
+    try:
+        chk, nk, nnz = detect_overlaps(reads, cfg)
+    finally:
+        pp._compact_sort.clear_cache()
+    assert (nk, nnz) == (nk_ref, nnz_ref)
+    assert _as_map(chk) == _as_map(ref)
