@@ -1694,7 +1694,15 @@ def _detect_overlaps_split(reads, config: BellaConfig, budget: float,
         # reliable rows to one (upper-1) x total emission — the chain
         # sort shrinks ~3x and reliable rows are never capped/dropped.
         for pi in range(g1 - g0):
-            sl_lo, sl_hi = pi * region_cap, (pi + 1) * region_cap
+            sl_lo = pi * region_cap
+            # sort only the FILLED prefix of the region (bucketed; the
+            # fill off[pi] is host-known, rows beyond it are sentinels
+            # from the fixed-width appends): the 1.4x routing slack
+            # otherwise rides through the pass's sort+count+compact
+            fill = min(
+                _size_bucket(max(off[pi] + 1, 1 << 14)), region_cap
+            )
+            sl_hi = sl_lo + fill
             # wide rows carry possc as their own operand (17 bits — no
             # room in the key word), so only the 16-bit layout packs the
             # strand bit into the sort key (3 operands instead of 4)
