@@ -270,6 +270,8 @@ def pack_words(mat: np.ndarray) -> np.ndarray:
     word holds bases 4b..4b+3 LSB-first, so the u32 reads as 16 bases
     LSB-first): ~100x faster than a widen-shift-reduce over a
     (R, L/16, 16) u32 temp, and it keeps the temps byte-sized."""
+    if mat.dtype.itemsize != 1:  # wider codes: convert, never reinterpret
+        mat = mat.astype(np.int8)
     c = np.ascontiguousarray(mat).view(np.uint8) & 3        # (R, L)
     c = c[:, 0::2] | (c[:, 1::2] << 2)                      # (R, L/2)
     c = np.ascontiguousarray(c[:, 0::2] | (c[:, 1::2] << 4))  # (R, L/4)
@@ -502,6 +504,19 @@ def _seed_extend_batch_pallas(
     return _combine_extensions(ext, left, right)
 
 
+def _pair_block(pairs, sel, valid):
+    """The (6, B) int32 transfer block consumed by
+    _seed_extend_batch_pallas (row order is that function's contract)."""
+    return np.stack([
+        pairs.read_h[sel].astype(np.int32),
+        pairs.read_v[sel].astype(np.int32),
+        pairs.pos_h[sel].astype(np.int32),
+        pairs.pos_v[sel].astype(np.int32),
+        pairs.seed_rc[sel].astype(np.int32),
+        valid.astype(np.int32),
+    ])
+
+
 def align_candidates(
     reads_padded: np.ndarray,
     read_lengths: np.ndarray,
@@ -656,14 +671,7 @@ def align_candidates(
         if use_pallas:
             # one stacked (6, B) transfer per batch (see
             # _seed_extend_batch_pallas pairblk)
-            blk = _put_blk(np.stack([
-                pairs.read_h[sel].astype(np.int32),
-                pairs.read_v[sel].astype(np.int32),
-                pairs.pos_h[sel].astype(np.int32),
-                pairs.pos_v[sel].astype(np.int32),
-                pairs.seed_rc[sel].astype(np.int32),
-                valid.astype(np.int32),
-            ]))
+            blk = _put_blk(_pair_block(pairs, sel, valid))
             out = _seed_extend_batch_pallas(
                 reads_dev, lens_dev, blk, xdrop=int(config.xdrop),
                 kmer_size=k, band=pallas_band, interpret=interpret,
@@ -752,14 +760,7 @@ def align_candidates(
                         if nv < rb else sel)
                 validp = np.arange(rb) < nv
                 seq_len = int(tier[selp[:nv]].max())
-                blk = _put_blk(np.stack([
-                    pairs.read_h[selp].astype(np.int32),
-                    pairs.read_v[selp].astype(np.int32),
-                    pairs.pos_h[selp].astype(np.int32),
-                    pairs.pos_v[selp].astype(np.int32),
-                    pairs.seed_rc[selp].astype(np.int32),
-                    validp.astype(np.int32),
-                ]))
+                blk = _put_blk(_pair_block(pairs, selp, validp))
                 out = _seed_extend_batch_pallas(
                     reads_dev, lens_dev, blk,
                     xdrop=int(config.xdrop), kmer_size=k,
@@ -768,11 +769,17 @@ def align_candidates(
                 )
                 arr = np.asarray(out)
                 sel = selp[:nv]
-                score[sel] = arr[0, :nv]
-                beg_h[sel] = arr[1, :nv]
-                end_h[sel] = arr[2, :nv]
-                beg_v[sel] = arr[3, :nv]
-                end_v[sel] = arr[4, :nv]
+                # keep whichever extension scored higher: x-drop is not
+                # monotone in band width (a wider band can surface an
+                # off-trajectory early max that kills the true path)
+                better = arr[0, :nv] >= score[sel]
+                sel = sel[better]
+                keep = np.nonzero(better)[0]
+                score[sel] = arr[0, keep]
+                beg_h[sel] = arr[1, keep]
+                end_h[sel] = arr[2, keep]
+                beg_v[sel] = arr[3, keep]
+                end_v[sel] = arr[4, keep]
             drift2 = np.abs(
                 (end_h[sat_idx] - beg_h[sat_idx])
                 - (end_v[sat_idx] - beg_v[sat_idx])

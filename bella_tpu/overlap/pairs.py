@@ -728,8 +728,11 @@ def _count_sorted(
     # One stacked readback ships all of them with nnz.
     # ONE fused (upper, n) broadcast-compare reduction instead of upper
     # separate full-stream sums (those cost ~2 ms each unfused); row 0
-    # compares counts > 0, true for every reliable row, so nnzs[0] = nnz
-    dv = jnp.arange(upper, dtype=jnp.int32)[:, None]
+    # compares counts > 0, true for every reliable row, so nnzs[0] = nnz.
+    # Width capped at _LAG_STATS (S_d is nonincreasing, so lags beyond
+    # the cap reuse the last entry as a valid upper bound) — wide bounds
+    # allow upper = 2^15 and an uncapped (upper, n) sweep would blow up.
+    dv = jnp.arange(min(upper, _LAG_STATS), dtype=jnp.int32)[:, None]
     nnzs = jnp.sum(
         (reliable[None, :] & (counts[None, :] > dv)).astype(jnp.int32),
         axis=1,
@@ -767,6 +770,40 @@ def _fused_count(
         khi, klo, p1, sc, p2,
         lower=lower, upper=upper, pack_ridpos=pack_ridpos, pack_sc=pack_sc,
     )
+
+
+_LAG_STATS = 64  # per-lag prefix stats computed for lags below this
+
+
+def _lag_sizes(narr, size: int, upper: int):
+    """Static per-lag emission prefixes from the nnzs readback (see
+    _count_sorted): monotone nonincreasing pow2 buckets upper-bounding
+    the count>d row counts, capped at `size`. To bound the compile-
+    variant alphabet (lag_sizes is a static jit key and compiles cost
+    minutes on this toolchain), the canonical pow4-decay tuple
+    (size, size/4, size/16, ...) is used whenever it covers the actual
+    counts — one variant per size bucket for typical error-k-mer count
+    decays (~4-5x per lag); the exact pow2 tuple is the fallback.
+    BELLA_NO_LAG_SLICES=1 disables slicing on every path."""
+    import os as _os
+
+    nlag = upper - 1
+    if _os.environ.get("BELLA_NO_LAG_SLICES"):
+        return (size,) * nlag
+    actual = []
+    for d in range(1, upper):
+        i = min(d, len(narr) - 1)
+        actual.append(int(narr[i]) if i >= 1 else 0)
+    canonical = [max(size >> (2 * d), 1 << 10) for d in range(nlag)]
+    if all(c >= a for c, a in zip(canonical, actual)):
+        return tuple(min(c, size) for c in canonical)
+    out, prev = [], size
+    for sd in actual:
+        b = (1 << max(10, int(sd - 1).bit_length())) if sd > 0 else 1 << 10
+        b = min(b, prev, size)
+        out.append(b)
+        prev = b
+    return tuple(out)
 
 
 @partial(jax.jit, static_argnames=("kmer_size", "upper", "bin_size"))
@@ -1126,8 +1163,8 @@ def _count_sorted_wide(khi, klo, rid, possc, lower: int, upper: int):
     is_sentinel = (khi == u32(0xFFFFFFFF)) & (klo == u32(0xFFFFFFFF))
     reliable = (counts >= lower) & (counts <= upper) & (~is_sentinel)
     # nnzs[0] = nnz, nnzs[d] = rows in segments with count > d (one
-    # fused broadcast reduction — see _count_sorted)
-    dv = jnp.arange(upper, dtype=jnp.int32)[:, None]
+    # fused broadcast reduction, width-capped — see _count_sorted)
+    dv = jnp.arange(min(upper, _LAG_STATS), dtype=jnp.int32)[:, None]
     nnzs = jnp.sum(
         (reliable[None, :] & (counts[None, :] > dv)).astype(jnp.int32),
         axis=1,
@@ -1733,6 +1770,9 @@ def _detect_overlaps_split(reads, config: BellaConfig, budget: float,
                                           cnt_p)
             else:
                 comp = _compact_sort(reliable, sr, sp, scw, rank, cnt_p)
+            # drop the full-fill count outputs before the emit/chain of
+            # this pass allocate (the split path runs near the budget)
+            del reliable, sr, sp, scw, rank, cnt_p
             narr_p = np.asarray(nnzs_p)
             n_p = int(narr_p[0])
             num_kmers += int(nk_p)
@@ -1745,14 +1785,7 @@ def _detect_overlaps_split(reads, config: BellaConfig, budget: float,
             else:
                 csr, csp, csc, crank = _compact_slice(*comp, size=size_p)
             del comp
-            lag_sizes, prev = [], size_p
-            for d in range(1, config.upper_freq):
-                sd = int(narr_p[d]) if d < len(narr_p) else 0
-                b = (1 << max(10, int(sd - 1).bit_length())) if sd > 0 \
-                    else 1 << 10
-                b = min(b, prev, size_p)
-                lag_sizes.append(b)
-                prev = b
+            lag_sizes = _lag_sizes(narr_p, size_p, config.upper_freq)
             if wide:
                 h_p, v_p, k3_p, pv_p, nc_p = _fused_emit_wide(
                     nnzs_p[0].astype(jnp.int32), csr, csp, csc, crank,
@@ -1932,13 +1965,7 @@ def detect_overlaps(reads, config: BellaConfig):
         size = min(_size_bucket(max(n, 1 << 14)), int(comp[0].shape[0]))
         csr, csp, csc, crank = _compact_slice_wide(*comp, size=size)
         del comp
-        lag_sizes, prev = [], size
-        for d in range(1, config.upper_freq):
-            sd = int(narr[d]) if d < len(narr) else 0
-            b = 1 << max(10, int(sd - 1).bit_length()) if sd > 0 else 1 << 10
-            b = min(b, prev, size)
-            lag_sizes.append(b)
-            prev = b
+        lag_sizes = _lag_sizes(narr, size, config.upper_freq)
         h, v, k3, pv, _n_cand = _fused_emit_wide(
             nnzs[0].astype(jnp.int32), csr, csp, csc, crank, lengths_dev,
             kmer_size=k, upper=config.upper_freq, bin_size=config.bin_size,
@@ -2001,20 +2028,10 @@ def detect_overlaps(reads, config: BellaConfig):
         size = min(_size_bucket(max(n, 1 << 14)), int(comp[0].shape[0]))
         csr, csp, csc, crank = _compact_slice(*comp, size=size)
         del comp
-        # per-lag emission prefixes (pow2 buckets of the count>d row
-        # counts, monotone nonincreasing): lag d streams only the
-        # segments that can pair at lag d — 3-4x fewer emitted rows
-        # into the chain sort on long-read error k-mer distributions
-        lag_sizes, prev = [], size
-        for d in range(1, config.upper_freq):
-            sd = int(narr[d]) if d < len(narr) else 0
-            b = 1 << max(10, int(sd - 1).bit_length()) if sd > 0 else 1 << 10
-            b = min(b, prev, size)
-            lag_sizes.append(b)
-            prev = b
-        import os as _os
-        if _os.environ.get("BELLA_NO_LAG_SLICES"):
-            lag_sizes = [size] * (config.upper_freq - 1)
+        # per-lag emission prefixes: lag d streams only the segments
+        # that can pair at lag d — 3-4x fewer emitted rows into the
+        # chain sort on long-read error k-mer distributions
+        lag_sizes = _lag_sizes(narr, size, config.upper_freq)
         hv, k3, pv, _n_cand = _fused_emit_packed(
             nnzs[0].astype(jnp.int32), csr, csp, csc, crank, lengths_dev,
             kmer_size=k, upper=config.upper_freq, bin_size=config.bin_size,
