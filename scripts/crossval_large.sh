@@ -42,13 +42,17 @@ print(f"corpus: {reads.num_reads} reads, {reads.lengths.sum()/1e6:.1f} Mbp")
 PY
 
 echo "=== reference binary (this may take a while single-core) ==="
-/usr/bin/time -v timeout 14400 ./bella -f big.fofn -o ref_big -k 17 -e 0.15 \
+T0=$(date +%s)
+timeout 14400 ./bella -f big.fofn -o ref_big -k 17 -e 0.15 \
   2> ref_big.log || true
+echo "reference wall: $(( $(date +%s) - T0 )) s"
 tail -3 ref_big.log
 
 echo "=== bella_tpu ==="
-/usr/bin/time -v timeout 14400 python -m bella_tpu.cli -f big.fofn -o tpu_big \
+T0=$(date +%s)
+timeout 14400 python -m bella_tpu.cli -f big.fofn -o tpu_big \
   -k 17 -e 0.15 2> tpu_big.log || true
+echo "bella_tpu wall: $(( $(date +%s) - T0 )) s"
 tail -3 tpu_big.log
 
 python - <<'PY'
