@@ -16,9 +16,12 @@ REF=${REF:-/root/reference}
 BUILD=${BUILD:-/root/repo/.refbuild}
 GENOME=${GENOME:-4600000}
 COVERAGE=${COVERAGE:-30}
-export PYTHONPATH=/root/repo
 if [ "${BELLA_CROSSVAL_TPU:-0}" != "1" ]; then
+  export PYTHONPATH=/root/repo
   export JAX_PLATFORMS=cpu PALLAS_AXON_POOL_IPS=
+else
+  # keep the axon site on the path: it registers the TPU backend
+  export PYTHONPATH=/root/repo:/root/.axon_site
 fi
 
 if [ ! -x "$BUILD/bella" ]; then
