@@ -642,7 +642,14 @@ def align_candidates(
     pair_len = np.maximum(
         read_lengths[pairs.read_h], read_lengths[pairs.read_v]
     ).astype(np.int64)
-    tier = np.maximum(512, 1 << np.ceil(np.log2(np.maximum(pair_len, 1))).astype(np.int64))
+    # pow4 ladder (512, 1024, 4096, 16384, ...): each tier is one compiled
+    # kernel shape and compiles cost ~a minute each on this toolchain's
+    # remote helper, so halving the ladder halves the cold-start cost;
+    # the kernel's work scales with wavefront steps (pair length), not
+    # the padded tier width, so the wider buckets cost only ~extra
+    # barrel-shift width in prep (~10% of the phase)
+    exp = np.ceil(np.log2(np.maximum(pair_len, 1))).astype(np.int64)
+    tier = np.maximum(512, 1 << (((exp + 1) >> 1) << 1))
     tier = np.minimum(tier, Lmax)
     if pairs.overlap_est.size and pairs.overlap_est.max() > 0:
         order = np.lexsort((pairs.overlap_est, tier))
