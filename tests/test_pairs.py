@@ -141,3 +141,32 @@ def test_generate_candidates_packed_matches_u64():
 
     assert as_map(a) == as_map(c)
     assert b.num_pairs > 0
+
+
+def test_lag_sizes_invariants(monkeypatch):
+    """_lag_sizes tuples must upper-bound the actual count>d rows,
+    stay monotone nonincreasing, cap at size, and honor the escape
+    hatch — the emission slices silently drop pairs otherwise."""
+    import numpy as np
+
+    from bella_tpu.overlap.pairs import _lag_sizes
+
+    monkeypatch.delenv("BELLA_NO_LAG_SLICES", raising=False)
+    rng = np.random.default_rng(7)
+    for _ in range(50):
+        upper = int(rng.integers(2, 12))
+        size = int(rng.integers(1 << 10, 1 << 22))
+        nnz = int(rng.integers(0, size))
+        # nonincreasing random S_d
+        s = np.sort(rng.integers(0, nnz + 1, upper - 1))[::-1]
+        narr = np.concatenate([[nnz], s]).astype(np.int64)
+        out = _lag_sizes(narr, size, upper)
+        assert len(out) == upper - 1
+        assert all(out[i] >= out[i + 1] for i in range(len(out) - 1))
+        assert all(v <= size for v in out)
+        # every actual count>d row count is covered
+        for d in range(1, upper):
+            i = min(d, len(narr) - 1)
+            assert out[d - 1] >= min(int(narr[i]), size)
+    monkeypatch.setenv("BELLA_NO_LAG_SLICES", "1")
+    assert _lag_sizes(narr, size, upper) == (size,) * (upper - 1)
