@@ -517,6 +517,141 @@ def _pair_block(pairs, sel, valid):
     ])
 
 
+def _length_tier(lengths: np.ndarray, lmax: int) -> np.ndarray:
+    """pow4 sequence-width ladder (512, 1024, 4096, 16384, ...): each
+    tier is one compiled kernel shape and compiles cost ~a minute each
+    on remote-helper toolchains, so halving the ladder halves the
+    cold-start cost; the kernel's work scales with wavefront steps
+    (pair length), not the padded tier width, so the wider buckets cost
+    only ~extra barrel-shift width in prep (~10% of the phase)."""
+    exp = np.ceil(np.log2(np.maximum(lengths, 1))).astype(np.int64)
+    tier = np.maximum(512, 1 << (((exp + 1) >> 1) << 1))
+    return np.minimum(tier, lmax)
+
+
+def _batch_bucket(P: int, batch_size: int, ndev: int = 1) -> int:
+    """Bucket the alignment batch to the next power of two >= P
+    (capped) so small runs don't pad to the full batch while big runs
+    reuse one compiled shape."""
+    bucket = max(64, ndev)
+    while bucket < min(P, batch_size):
+        bucket *= 2
+    return min(max(batch_size, ndev), bucket)
+
+
+_PREWARM = {"thread": None, "key": None, "cancel": None}
+
+
+def prewarm_align_kernels(read_lengths: np.ndarray, config) -> bool:
+    """Compile the Pallas aligner's per-tier kernel variants in a
+    background daemon thread so the XLA compiles (minutes each on
+    tunneled/remote-helper toolchains) overlap the detection phase
+    instead of serializing after it.
+
+    Call as soon as read lengths are known (post-ingest);
+    align_candidates joins the thread before dispatching, so a
+    half-finished prewarm never races a foreground compile of the same
+    signature. Shape derivation mirrors align_candidates/pad_reads
+    exactly (same _length_tier / _batch_bucket / pad_reads rounding);
+    drift there turns this into wasted compiles, never wrong results.
+    The warm path populates the jit cache by CALLING each variant on
+    all-zero operands: zero lengths kill every wavefront at step 0, so
+    the dummy execution is microseconds while the compile it triggers
+    is the minutes we are buying back. No reference analogue — the AOT
+    C++ binary (makefile-nersc:54-58) never pays a JIT cold start.
+
+    Returns True when a prewarm thread was started."""
+    import threading
+
+    from bella_tpu.utils.log import log
+
+    if not getattr(config, "prewarm", True):
+        return False
+    if getattr(config, "skip_alignment", False):
+        return False
+    backend = getattr(config, "aligner_backend", "auto")
+    try:
+        from bella_tpu.align.pallas_xdrop import pallas_available
+
+        use_pallas = pallas_available() if backend == "auto" else (
+            backend == "pallas" and jax.default_backend() == "tpu"
+        )
+    except Exception:
+        return False
+    if not use_pallas:
+        return False
+    lens = np.asarray(read_lengths)
+    if lens.size == 0:
+        return False
+
+    # mirror pad_reads(bucket=512) + pack_words widths
+    lmax = int(((int(lens.max()) + 511) // 512) * 512)
+    R = int(lens.size)
+    Wp = lmax // 16
+    total_words = int((-(-lens.astype(np.int64) // 16)).sum())
+    batch = _batch_bucket(1 << 30, int(config.align_batch))
+    # a pair's tier is the tier of its longer read, so the read-length
+    # tier set is a (usually exact) superset of the pair tier set
+    tiers = sorted(int(t) for t in np.unique(_length_tier(lens, lmax)))
+    xdrop = int(config.xdrop)
+    k = int(config.kmer_size)
+    band = int(getattr(config, "pallas_band", 256))
+    max_steps = int(getattr(config, "max_steps", None) or 0)
+    key = (R, Wp, batch, frozenset(tiers), xdrop, k, band, max_steps)
+
+    cancel = threading.Event()
+
+    def _worker():
+        try:
+            flat = jnp.zeros(max(total_words, 1), jnp.uint32)
+            off = jnp.zeros(R, jnp.int32)
+            reads_w = _expand_words(flat, off, R=R, Wp=Wp)
+            lens_z = jnp.zeros(R, jnp.int32)
+            blk = jnp.zeros((6, batch), jnp.int32)
+            for t in tiers:
+                if cancel.is_set():
+                    return
+                _seed_extend_batch_pallas(
+                    reads_w, lens_z, blk, xdrop=xdrop, kmer_size=k,
+                    band=band, interpret=False, max_steps=max_steps,
+                    seq_len=t,
+                )
+            # ascending order matches the dispatch order (batches are
+            # sorted by tier), so the first-needed variant lands first
+        except Exception as e:  # never take the pipeline down
+            log("prewarmFailed", repr(e))
+
+    if _PREWARM["thread"] is not None:  # stale thread from a prior run
+        _PREWARM["cancel"].set()
+    t = threading.Thread(target=_worker, daemon=True, name="bella-prewarm")
+    _PREWARM["thread"], _PREWARM["key"], _PREWARM["cancel"] = t, key, cancel
+    t.start()
+    log("prewarmStarted", f"{len(tiers)} align tier(s) {tiers}, batch {batch}")
+    return True
+
+
+def _sync_prewarm(key) -> None:
+    """Join (matching shapes) or cancel (mismatched) an in-flight
+    prewarm so the foreground never compiles the same signature a
+    prewarm thread is mid-compiling. Keys are (R, Wp, batch, tiers,
+    xdrop, k, band, max_steps); the foreground's pair-tier set need
+    only be a SUBSET of the prewarmed read-length tiers."""
+    t = _PREWARM["thread"]
+    if t is None:
+        return
+    pk = _PREWARM["key"]
+    if (
+        key is not None
+        and key[:3] == pk[:3]
+        and key[4:] == pk[4:]
+        and key[3] <= pk[3]
+    ):
+        t.join()
+    else:
+        _PREWARM["cancel"].set()
+    _PREWARM["thread"] = _PREWARM["key"] = _PREWARM["cancel"] = None
+
+
 def align_candidates(
     reads_padded: np.ndarray,
     read_lengths: np.ndarray,
@@ -545,12 +680,7 @@ def align_candidates(
     if batch_size <= 0:
         batch_size = config.align_batch
     ndev = int(mesh.devices.size) if mesh is not None else 1
-    # bucket to the next power of two >= P (capped) so small runs don't
-    # pad to the full batch while big runs reuse one compiled shape
-    bucket = max(64, ndev)
-    while bucket < min(P, batch_size):
-        bucket *= 2
-    batch_size = min(max(batch_size, ndev), bucket)
+    batch_size = _batch_bucket(P, batch_size, ndev)
     R, Lmax = reads_padded.shape
     k = config.kmer_size
 
@@ -642,15 +772,15 @@ def align_candidates(
     pair_len = np.maximum(
         read_lengths[pairs.read_h], read_lengths[pairs.read_v]
     ).astype(np.int64)
-    # pow4 ladder (512, 1024, 4096, 16384, ...): each tier is one compiled
-    # kernel shape and compiles cost ~a minute each on this toolchain's
-    # remote helper, so halving the ladder halves the cold-start cost;
-    # the kernel's work scales with wavefront steps (pair length), not
-    # the padded tier width, so the wider buckets cost only ~extra
-    # barrel-shift width in prep (~10% of the phase)
-    exp = np.ceil(np.log2(np.maximum(pair_len, 1))).astype(np.int64)
-    tier = np.maximum(512, 1 << (((exp + 1) >> 1) << 1))
-    tier = np.minimum(tier, Lmax)
+    tier = _length_tier(pair_len, Lmax)  # pow4 compiled-shape ladder
+
+    # wait for (or cancel) any in-flight background prewarm before
+    # dispatching, so the foreground never compiles a signature a
+    # prewarm thread is mid-compiling
+    _sync_prewarm((
+        R, Lmax // 16, batch_size, frozenset(np.unique(tier).tolist()),
+        int(config.xdrop), k, pallas_band, max_steps,
+    ) if use_pallas and mesh is None else None)
     if pairs.overlap_est.size and pairs.overlap_est.max() > 0:
         order = np.lexsort((pairs.overlap_est, tier))
     else:

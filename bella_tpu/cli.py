@@ -50,6 +50,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--checkpoint", metavar="NPZ",
                     help="save/resume the reliable-triples phase checkpoint")
     ap.add_argument("--profile", metavar="DIR", help="write a jax.profiler trace")
+    ap.add_argument("--no-prewarm", action="store_true",
+                    help="disable background compilation of the aligner "
+                         "kernel variants during detection")
     return ap
 
 
@@ -82,6 +85,7 @@ def main(argv=None) -> int:
         checkpoint=args.checkpoint,
         profile_dir=args.profile,
         devices=args.devices,
+        prewarm=not args.no_prewarm,
     )
     if config.devices > 1:
         # multi-host runtimes need the distributed client before any

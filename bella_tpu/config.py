@@ -52,6 +52,10 @@ class BellaConfig:
                                    # (ref: 30000/GPU, include/align.hpp:35)
     max_steps: Optional[int] = None  # wavefront step cap; None = len-derived
                                    # (2 * padded read length, xdrop.py)
+    prewarm: bool = True           # compile align-kernel tier variants in a
+                                   # background thread during detection
+                                   # (cold-start jit overlap; xdrop.py
+                                   # prewarm_align_kernels)
     devices: int = 0               # --devices  mesh size for distributed
                                    # detection + data-parallel alignment
                                    # (0/1 = single-device pipeline)

@@ -60,6 +60,14 @@ def run_pipeline(
         mesh = make_mesh(config.devices)
         log("meshDevices", config.devices)
 
+    if not config.skip_alignment and mesh is None and reads.num_reads:
+        # overlap the aligner-kernel compiles (minutes each cold on
+        # remote-helper toolchains) with the detection phase; the
+        # aligner joins the thread before its first dispatch
+        from bella_tpu.align.xdrop import prewarm_align_kernels
+
+        prewarm_align_kernels(reads.lengths, config)
+
     # fused device path for the common configuration; the modular path
     # handles sparse selection, split-count staging, memory-staged
     # emission, matrix dump, and checkpoint/resume. The fused path
