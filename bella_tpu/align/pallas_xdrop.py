@@ -131,6 +131,7 @@ def _kernel(t_ref, q_ref, tl_ref, ql_ref, score_ref, te_ref, qe_ref,
     twin = jnp.where(lane == 0, pad, _roll_r(thead))
     qwin = jnp.where(lane == 0, q1, jnp.where(lane == 1, q0, pad))
 
+    tq_len = t_len + q_len  # (bb, 1) end-diagonal, hoisted out of the step
     best = jnp.zeros((bb, 1), jnp.int32)
     # coordinate tracking is PER LANE (best_lane/d_best) instead of a
     # per-step argmax: the second cross-lane reduce per step was ~20% of
@@ -142,7 +143,7 @@ def _kernel(t_ref, q_ref, tl_ref, ql_ref, score_ref, te_ref, qe_ref,
     d_best = jnp.zeros((bb, W), jnp.int32)
     # alive is carried as int32 0/1: Mosaic cannot legalize loop-carried
     # i1 vectors (scf.yield layout mismatch)
-    alive = ((t_len + q_len) > 0).astype(jnp.int32)
+    alive = (tq_len > 0).astype(jnp.int32)
 
     def make_step(mode, s_idx=0):
         """One-antidiagonal step body, specialized by band-trajectory
@@ -209,11 +210,19 @@ def _kernel(t_ref, q_ref, tl_ref, ql_ref, score_ref, te_ref, qe_ref,
             a3 = jnp.maximum(
                 diag_pred + sub, jnp.maximum(gq_pred, gt_pred) + sdt(gap)
             )
-            # DP-matrix validity, entirely in the state dtype (d fits
-            # int16 in i16 mode by the I16_MAX_D guard)
-            i = lane if mode == "ramp" else lo.astype(sdt) + lane
-            j = d.astype(sdt) - i
-            valid = (i <= t_len_s) & (j >= 0) & (j <= q_len_s)
+            # DP-matrix validity via per-pair scalar lane bounds: with
+            # i = lo + lane, j = d - i, the three cell tests
+            # (i <= t_len, j >= 0, j <= q_len) collapse to
+            # m2 <= lane <= m1 with (bb,1) bounds — 3 full-width ops
+            # instead of 7 (the i/j builds + three compares + two ands)
+            if mode == "ramp":  # lo == 0 throughout the ramp
+                d_lo = d
+                m1 = jnp.minimum(t_len, d)
+            else:
+                d_lo = d - lo
+                m1 = jnp.minimum(t_len - lo, d_lo)
+            m2 = d_lo - q_len
+            valid = (lane32 <= m1) & (lane32 >= m2)
             a3 = jnp.where(valid, jnp.maximum(a3, ninf), ninf)
 
             # ONE cross-lane reduction per step (x-drop liveness); the
@@ -228,7 +237,7 @@ def _kernel(t_ref, q_ref, tl_ref, ql_ref, score_ref, te_ref, qe_ref,
             best = jnp.where(improved, cur, best)
             alive = (
                 (alive > 0) & (cur >= best - jnp.int32(xdrop))
-                & (d < t_len + q_len)
+                & (d < tq_len)
             ).astype(jnp.int32)
 
             # window + feed updates for diag d+1 (consume T when the
