@@ -101,6 +101,12 @@ def _kernel(t_ref, q_ref, tl_ref, ql_ref, score_ref, te_ref, qe_ref,
     sdt = jnp.int16 if use_i16 else jnp.int32
     lane = jax.lax.broadcasted_iota(sdt, (bb, W), 1)
     lane32 = jax.lax.broadcasted_iota(jnp.int32, (bb, W), 1)
+    # hoisted lane-edge masks: the step bodies select against lane 0 /
+    # lane W-1 every antidiagonal; computing the compares once keeps
+    # them out of the unrolled step loops (they are closure constants,
+    # not loop-carried state, so Mosaic's i1-carry limitation is moot)
+    m_lane0 = lane32 == 0
+    m_laneW = lane32 == (W - 1)
     t_len = tl_ref[:]  # (bb, 1) int32
     q_len = ql_ref[:]
     t_len_s = t_len.astype(sdt)
@@ -179,16 +185,16 @@ def _kernel(t_ref, q_ref, tl_ref, ql_ref, score_ref, te_ref, qe_ref,
             # with SCALAR dlt selects in the generic body. shift_d =
             # lo(d) - lo(d-2) - 1 (at most one of the deltas is 1).
             if mode == "ramp":
-                diag_pred = jnp.where(lane == 0, ninf, _roll_r(a1))
-                gq_pred = jnp.where(lane == 0, ninf, _roll_r(a2))
+                diag_pred = jnp.where(m_lane0, ninf, _roll_r(a1))
+                gq_pred = jnp.where(m_lane0, ninf, _roll_r(a2))
                 gt_pred = a2
             elif mode == "steady":
                 diag_pred = a1
                 if dlt1_st:
                     gq_pred = a2
-                    gt_pred = jnp.where(lane == W - 1, ninf, _roll_l(a2))
+                    gt_pred = jnp.where(m_laneW, ninf, _roll_l(a2))
                 else:
-                    gq_pred = jnp.where(lane == 0, ninf, _roll_r(a2))
+                    gq_pred = jnp.where(m_lane0, ninf, _roll_r(a2))
                     gt_pred = a2
             else:
                 dlt1 = lo - _lo(d - one, W)
@@ -210,20 +216,25 @@ def _kernel(t_ref, q_ref, tl_ref, ql_ref, score_ref, te_ref, qe_ref,
             a3 = jnp.maximum(
                 diag_pred + sub, jnp.maximum(gq_pred, gt_pred) + sdt(gap)
             )
-            # DP-matrix validity via per-pair scalar lane bounds: with
-            # i = lo + lane, j = d - i, the three cell tests
-            # (i <= t_len, j >= 0, j <= q_len) collapse to
-            # m2 <= lane <= m1 with (bb,1) bounds — 3 full-width ops
-            # instead of 7 (the i/j builds + three compares + two ands)
-            if mode == "ramp":  # lo == 0 throughout the ramp
-                d_lo = d
-                m1 = jnp.minimum(t_len, d)
+            # DP-matrix validity in the state dtype. NOTE: the
+            # "collapse to m2 <= lane <= m1 scalar bounds" rewrite (3
+            # broadcast ops instead of 7 element-wise) was measured
+            # SLOWER on hardware at every block size (bb=24: 287 ->
+            # 460 ms on the 8192x mixed probe) — the (bb,1)-broadcast
+            # compares cost more than the element-wise chain they
+            # replace; keep the i/j form.
+            i = lane if mode == "ramp" else lo.astype(sdt) + lane
+            j = d.astype(sdt) - i
+            valid = (i <= t_len_s) & (j >= 0) & (j <= q_len_s)
+            if use_i16:
+                # int16 needs the lower clamp: gap adds drift dead cells
+                # toward INT16_MIN over >6k steps and would wrap
+                a3 = jnp.where(valid, jnp.maximum(a3, ninf), ninf)
             else:
-                d_lo = d - lo
-                m1 = jnp.minimum(t_len - lo, d_lo)
-            m2 = d_lo - q_len
-            valid = (lane32 <= m1) & (lane32 >= m2)
-            a3 = jnp.where(valid, jnp.maximum(a3, ninf), ninf)
+                # int32 headroom makes the clamp redundant: dead-cell
+                # drift is bounded by 2*max_steps <= 2^19 below
+                # NINF32 = -2^20, nowhere near int32 wrap
+                a3 = jnp.where(valid, a3, ninf)
 
             # ONE cross-lane reduction per step (x-drop liveness); the
             # lane maxima update element-wise, gated on liveness so
@@ -241,19 +252,27 @@ def _kernel(t_ref, q_ref, tl_ref, ql_ref, score_ref, te_ref, qe_ref,
             ).astype(jnp.int32)
 
             # window + feed updates for diag d+1 (consume T when the
-            # band advances, Q when it does not — in sequence order)
+            # band advances, Q when it does not — in sequence order).
+            # ramp/steady read the feed at a STATIC python index (the
+            # per-chunk consumption schedule is a pure function of the
+            # step parity), so the per-step feed roll disappears from
+            # the two hot bodies; only the generic boundary chunk keeps
+            # the rolling-buffer form.
             if mode == "ramp":
-                qwin = jnp.where(lane == 0, qfeed[:, 0:1], _roll_r(qwin))
-                qfeed = _roll_l(qfeed)
+                qwin = jnp.where(
+                    m_lane0, qfeed[:, s_idx:s_idx + 1], _roll_r(qwin)
+                )
             elif mode == "steady":
                 if adv_st:
                     twin = jnp.where(
-                        lane == W - 1, tfeed[:, 0:1], _roll_l(twin)
+                        m_laneW, tfeed[:, s_idx // 2:s_idx // 2 + 1],
+                        _roll_l(twin),
                     )
-                    tfeed = _roll_l(tfeed)
                 else:
-                    qwin = jnp.where(lane == 0, qfeed[:, 0:1], _roll_r(qwin))
-                    qfeed = _roll_l(qfeed)
+                    qwin = jnp.where(
+                        m_lane0, qfeed[:, s_idx // 2:s_idx // 2 + 1],
+                        _roll_r(qwin),
+                    )
             else:
                 dlt2 = _lo(d + one, W) - lo
                 adv = dlt2 == 1
