@@ -608,16 +608,32 @@ def prewarm_align_kernels(read_lengths: np.ndarray, config) -> bool:
             reads_w = _expand_words(flat, off, R=R, Wp=Wp)
             lens_z = jnp.zeros(R, jnp.int32)
             blk = jnp.zeros((6, batch), jnp.int32)
-            for t in tiers:
-                if cancel.is_set():
-                    return
-                _seed_extend_batch_pallas(
-                    reads_w, lens_z, blk, xdrop=xdrop, kmer_size=k,
-                    band=band, interpret=False, max_steps=max_steps,
-                    seq_len=t,
-                )
-            # ascending order matches the dispatch order (batches are
-            # sorted by tier), so the first-needed variant lands first
+
+            # one thread per tier: the remote compile helper accepts
+            # concurrent compiles with near-perfect parallelism (see
+            # utils/compile_ahead.py), so N tier variants cost one
+            # compile's wall time instead of N. The zero-length dummy
+            # executions serialize on device but are microseconds.
+            def _one(t):
+                try:
+                    if cancel.is_set():
+                        return
+                    _seed_extend_batch_pallas(
+                        reads_w, lens_z, blk, xdrop=xdrop, kmer_size=k,
+                        band=band, interpret=False, max_steps=max_steps,
+                        seq_len=t,
+                    )
+                except Exception as e:
+                    log("prewarmFailed", repr(e))
+
+            ths = [
+                threading.Thread(target=_one, args=(t,), daemon=True)
+                for t in tiers
+            ]
+            for th in ths:
+                th.start()
+            for th in ths:
+                th.join()
         except Exception as e:  # never take the pipeline down
             log("prewarmFailed", repr(e))
 

@@ -523,11 +523,17 @@ def _extract_chunk(codes_bytes, lengths, offsets, n_real, rid_base,
     return khi, klo, rid + rid_base, sc, pos
 
 
-def _extract_stream_chunked(reads, kmer_size: int, pack_ridpos: bool):
+def _extract_stream_chunked(reads, kmer_size: int, pack_ridpos: bool,
+                            on_specs=None):
     """Host pipeline over read-aligned chunks: pack chunk i+1 on host
     while chunk i uploads and extracts on device. Returns the
     concatenated (khi, klo, p1, sc, p2) occurrence stream (p2 None when
-    pack_ridpos)."""
+    pack_ridpos).
+
+    on_specs, when given, is invoked BEFORE the chunk loop with the
+    avals of the concatenated output stream (compile-ahead hook: the
+    downstream sort/count compiles then overlap the whole chunked
+    upload+extract pipeline)."""
     offsets = reads.offsets.astype(np.int64)
     R = reads.num_reads
     total = len(reads.codes)
@@ -544,6 +550,25 @@ def _extract_stream_chunked(reads, kmer_size: int, pack_ridpos: bool):
         bounds.append(hi)
     nr_max = max(b - a for a, b in zip(bounds, bounds[1:]))
     NR = _size_bucket(nr_max + 1)
+    if on_specs is not None:
+        try:
+            nch = len(bounds) - 1
+            es = jax.eval_shape(
+                partial(_extract_chunk, kmer_size=kmer_size,
+                        pack_ridpos=pack_ridpos),
+                jax.ShapeDtypeStruct((cb // 4 + 8,), jnp.uint8),
+                jax.ShapeDtypeStruct((NR,), jnp.int32),
+                jax.ShapeDtypeStruct((NR + 1,), jnp.int32),
+                jax.ShapeDtypeStruct((), jnp.int32),
+                jax.ShapeDtypeStruct((), jnp.int32),
+            )
+            on_specs(tuple(
+                None if s is None
+                else jax.ShapeDtypeStruct((s.shape[0] * nch,), s.dtype)
+                for s in es
+            ))
+        except Exception:
+            pass
     parts = []
     for lo, hi in zip(bounds, bounds[1:]):
         span = int(offsets[hi] - offsets[lo])
@@ -741,6 +766,40 @@ def _count_sorted(
     return reliable, sr, sp, sc, rank, counts, nnzs, num_kmers
 
 
+def _prewarm_count_stages(stream_specs, lower: int, upper: int,
+                          pack_ridpos: bool, pack_sc: bool):
+    """Wave-A compile-ahead: given the occurrence-stream specs (the
+    extraction output avals), fire the sort -> count -> compact-sort
+    compiles concurrently so a cold run pays max(compile) instead of
+    their sum (the remote helper compiles in parallel; see
+    utils/compile_ahead.py). Shapes chain through eval_shape — no
+    duplicated sizing logic."""
+    from bella_tpu.utils.compile_ahead import compile_ahead
+
+    try:
+        compile_ahead(
+            _sort_kmers, *stream_specs,
+            pack_ridpos=pack_ridpos, pack_sc=pack_sc,
+        )
+        ss = jax.eval_shape(
+            partial(_sort_kmers, pack_ridpos=pack_ridpos, pack_sc=pack_sc),
+            *stream_specs,
+        )
+        compile_ahead(
+            _count_sorted, *ss,
+            lower=lower, upper=upper,
+            pack_ridpos=pack_ridpos, pack_sc=pack_sc,
+        )
+        cs = jax.eval_shape(
+            partial(_count_sorted, lower=lower, upper=upper,
+                    pack_ridpos=pack_ridpos, pack_sc=pack_sc),
+            *ss,
+        )
+        compile_ahead(_compact_sort, *cs[:6])
+    except Exception:  # a failed prewarm only costs the compile overlap
+        pass
+
+
 def _fused_count(
     codes, lengths, offsets, n_real=None,
     kmer_size: int = 17, lower: int = 2, upper: int = 8, use_hopc: bool = False,
@@ -750,22 +809,31 @@ def _fused_count(
     count+filter) so no single compile-time allocation plan approaches
     HBM at 100M+-position shapes. phased=True means `codes` is the
     2-bit-packed byte stream (+8 pad bytes) for the 4-phase extractor."""
-    if phased:
-        khi, klo, p1, sc, p2 = _extract_kmers_phased(
-            codes, lengths, offsets, n_real,
-            kmer_size=kmer_size, pack_ridpos=pack_ridpos,
-        )
-    else:
-        khi, klo, p1, sc, p2 = _extract_kmers(
-            codes, lengths, offsets, n_real,
-            kmer_size=kmer_size, use_hopc=use_hopc, pack_ridpos=pack_ridpos,
-        )
+    from bella_tpu.utils.compile_ahead import join_ahead
+
     # strand bit in the key (3-operand sort) whenever the high k-mer
     # word leaves bit 31 free — always true at the packed path's k <= 28
     pack_sc = pack_ridpos and kmer_size <= 31
+    extract = partial(
+        _extract_kmers_phased, kmer_size=kmer_size, pack_ridpos=pack_ridpos,
+    ) if phased else partial(
+        _extract_kmers, kmer_size=kmer_size, use_hopc=use_hopc,
+        pack_ridpos=pack_ridpos,
+    )
+    try:  # fire wave A while the foreground pays the extraction compile
+        es = jax.eval_shape(extract, codes, lengths, offsets, n_real)
+        _prewarm_count_stages(es, lower, upper, pack_ridpos, pack_sc)
+    except Exception:
+        pass
+    khi, klo, p1, sc, p2 = extract(codes, lengths, offsets, n_real)
+    join_ahead(_sort_kmers, khi, klo, p1, sc, p2,
+               pack_ridpos=pack_ridpos, pack_sc=pack_sc)
     khi, klo, p1, sc, p2 = _sort_kmers(
         khi, klo, p1, sc, p2, pack_ridpos=pack_ridpos, pack_sc=pack_sc
     )
+    join_ahead(_count_sorted, khi, klo, p1, sc, p2,
+               lower=lower, upper=upper,
+               pack_ridpos=pack_ridpos, pack_sc=pack_sc)
     return _count_sorted(
         khi, klo, p1, sc, p2,
         lower=lower, upper=upper, pack_ridpos=pack_ridpos, pack_sc=pack_sc,
@@ -1052,6 +1120,9 @@ def _chain_packed(
     full-stream materialisation — only cover the live prefix (bucketed).
     At 100M+-row streams this is the difference between fitting HBM and
     not."""
+    from bella_tpu.utils.compile_ahead import join_ahead
+
+    join_ahead(_chain_sort_packed, hv, k3, pv)
     hv, k3, pv = _chain_sort_packed(hv, k3, pv)
     if callable(live_rows):
         # the host round trip for the live count overlaps the sort
@@ -1217,6 +1288,25 @@ def _compact_reliable_wide(live, sr, sp, sc, rank, size: int, cnt=None):
         *_compact_sort_wide(live, sr, sp, sc, rank, cnt), size=size)
 
 
+def _prewarm_count_stages_wide(stream_specs, lower: int, upper: int):
+    """Wave-A compile-ahead, wide-id layout (see _prewarm_count_stages).
+    stream_specs are the extraction output avals (khi, klo, rid, sc,
+    pos) — note _sort_kmers_wide takes (khi, klo, rid, pos, sc)."""
+    from bella_tpu.utils.compile_ahead import compile_ahead
+
+    try:
+        khi, klo, rid, sc, pos = stream_specs
+        compile_ahead(_sort_kmers_wide, khi, klo, rid, pos, sc)
+        ss = jax.eval_shape(_sort_kmers_wide, khi, klo, rid, pos, sc)
+        compile_ahead(_count_sorted_wide, *ss, lower=lower, upper=upper)
+        cs = jax.eval_shape(
+            partial(_count_sorted_wide, lower=lower, upper=upper), *ss
+        )
+        compile_ahead(_compact_sort_wide, *cs[:6])
+    except Exception:
+        pass
+
+
 def _fused_count_wide(
     codes, lengths, offsets, n_real=None,
     kmer_size: int = 17, lower: int = 2, upper: int = 8,
@@ -1224,17 +1314,24 @@ def _fused_count_wide(
 ):
     """Wide-id phase-1 driver (extract -> sort -> count), mirroring
     _fused_count with rid/possc operand layout."""
-    if phased:
-        khi, klo, rid, sc, pos = _extract_kmers_phased(
-            codes, lengths, offsets, n_real,
-            kmer_size=kmer_size, pack_ridpos=False,
-        )
-    else:
-        khi, klo, rid, sc, pos = _extract_kmers(
-            codes, lengths, offsets, n_real,
-            kmer_size=kmer_size, use_hopc=use_hopc, pack_ridpos=False,
-        )
+    from bella_tpu.utils.compile_ahead import join_ahead
+
+    extract = partial(
+        _extract_kmers_phased, kmer_size=kmer_size, pack_ridpos=False,
+    ) if phased else partial(
+        _extract_kmers, kmer_size=kmer_size, use_hopc=use_hopc,
+        pack_ridpos=False,
+    )
+    try:  # wave A (see _prewarm_count_stages)
+        es = jax.eval_shape(extract, codes, lengths, offsets, n_real)
+        _prewarm_count_stages_wide(es, lower, upper)
+    except Exception:
+        pass
+    khi, klo, rid, sc, pos = extract(codes, lengths, offsets, n_real)
+    join_ahead(_sort_kmers_wide, khi, klo, rid, pos, sc)
     khi, klo, rid, possc = _sort_kmers_wide(khi, klo, rid, pos, sc)
+    join_ahead(_count_sorted_wide, khi, klo, rid, possc,
+               lower=lower, upper=upper)
     return _count_sorted_wide(khi, klo, rid, possc, lower=lower, upper=upper)
 
 
@@ -1323,6 +1420,9 @@ def _chain_wide(h, v, k3, pv, read_lengths, kmer_size: int, bin_size: int,
                 live_rows=None, lengths_np=None):
     """Wide-id sort + fused chain+compact (live-prefix trimming as in
     _chain_packed): returns CandidatePairs directly."""
+    from bella_tpu.utils.compile_ahead import join_ahead
+
+    join_ahead(_chain_sort_wide, h, v, k3, pv)
     h, v, k3, pv = _chain_sort_wide(h, v, k3, pv)
     if callable(live_rows):
         live_rows = live_rows()
@@ -1511,14 +1611,32 @@ def _finish_chain(ops, read_lengths, lengths_np, kmer_size: int,
     the count's relay round trip blocks, so the two overlap; phase C
     then moves exactly the pair bucket over the relay."""
     n = int(ops[0].shape[0])
+    from bella_tpu.utils.compile_ahead import compile_ahead, join_ahead
+
+    try:  # wave C: the live-count readback fixed the finish shapes
+        fs = jax.eval_shape(
+            partial(_chain_finish, kmer_size=kmer_size, bin_size=bin_size,
+                    wide=wide),
+            ops, read_lengths,
+        )
+        if n > (1 << 23):
+            compile_ahead(_sort_carry, fs[1], fs[0])
+        else:
+            compile_ahead(_sort_seedkey, fs[1])
+    except Exception:
+        pass
+    join_ahead(_chain_finish, ops, read_lengths,
+               kmer_size=kmer_size, bin_size=bin_size, wide=wide)
     cols, key, nseed = _chain_finish(
         ops, read_lengths, kmer_size=kmer_size, bin_size=bin_size, wide=wide
     )
     del ops
     carry = n > (1 << 23)  # huge streams: gathers are the slow path
     if carry:
+        join_ahead(_sort_carry, key, cols)
         sorted_cols = _sort_carry(key, cols)
     else:
+        join_ahead(_sort_seedkey, key)
         skey = _sort_seedkey(key)
     num = int(nseed)  # round trip overlaps the phase-B sort
     if num == 0:
@@ -1930,10 +2048,18 @@ def detect_overlaps(reads, config: BellaConfig):
             codes_packed = codes.astype(np.int8)
     if wide:
         if chunked:
+            from bella_tpu.utils.compile_ahead import join_ahead
+
             khi, klo, rid, sc0, pos = _extract_stream_chunked(
-                reads, k, pack_ridpos=False
+                reads, k, pack_ridpos=False,
+                on_specs=lambda s: _prewarm_count_stages_wide(
+                    s, config.lower_freq, config.upper_freq
+                ),
             )
+            join_ahead(_sort_kmers_wide, khi, klo, rid, pos, sc0)
             khi, klo, rid, possc = _sort_kmers_wide(khi, klo, rid, pos, sc0)
+            join_ahead(_count_sorted_wide, khi, klo, rid, possc,
+                       lower=config.lower_freq, upper=config.upper_freq)
             (reliable, sr, sp, sc, rank, cnt, nnzs,
              num_kmers) = _count_sorted_wide(
                 khi, klo, rid, possc,
@@ -1955,6 +2081,9 @@ def detect_overlaps(reads, config: BellaConfig):
         # dispatch the compaction sort BEFORE blocking on the nnz
         # readback: the sort (no size dependence) then runs on device
         # while the ~27 ms relay round trip is in flight
+        from bella_tpu.utils.compile_ahead import compile_ahead, join_ahead
+
+        join_ahead(_compact_sort_wide, reliable, sr, sp, sc, rank, cnt)
         comp = _compact_sort_wide(reliable, sr, sp, sc, rank, cnt)
         del reliable, sr, sp, sc, rank, cnt
         narr = np.asarray(nnzs)
@@ -1963,13 +2092,32 @@ def detect_overlaps(reads, config: BellaConfig):
             return CandidatePairs.empty(), int(num_kmers), 0
         lengths_dev = jnp.asarray(reads.lengths.astype(np.int32))
         size = min(_size_bucket(max(n, 1 << 14)), int(comp[0].shape[0]))
-        csr, csp, csc, crank = _compact_slice_wide(*comp, size=size)
-        del comp
         lag_sizes = _lag_sizes(narr, size, config.upper_freq)
-        h, v, k3, pv, _n_cand = _fused_emit_wide(
-            nnzs[0].astype(jnp.int32), csr, csp, csc, crank, lengths_dev,
+        emit_kw = dict(
             kmer_size=k, upper=config.upper_freq, bin_size=config.bin_size,
             lag_sizes=tuple(lag_sizes),
+        )
+        try:  # wave B (see the packed branch below)
+            n0 = jax.ShapeDtypeStruct((), jnp.int32)
+            cs = jax.eval_shape(
+                partial(_compact_slice_wide, size=size), *comp
+            )
+            compile_ahead(_fused_emit_wide, n0, *cs, lengths_dev, **emit_kw)
+            ems = jax.eval_shape(
+                partial(_fused_emit_wide, **emit_kw), n0, *cs, lengths_dev
+            )
+            compile_ahead(_chain_sort_wide, *ems[:4])
+        except Exception:
+            pass
+        csr, csp, csc, crank = _compact_slice_wide(*comp, size=size)
+        del comp
+        join_ahead(
+            _fused_emit_wide, nnzs[0].astype(jnp.int32),
+            csr, csp, csc, crank, lengths_dev, **emit_kw,
+        )
+        h, v, k3, pv, _n_cand = _fused_emit_wide(
+            nnzs[0].astype(jnp.int32), csr, csp, csc, crank, lengths_dev,
+            **emit_kw,
         )
         pairs = _chain_wide(
             h, v, k3, pv, lengths_dev, kmer_size=k,
@@ -1979,13 +2127,23 @@ def detect_overlaps(reads, config: BellaConfig):
         del h, v, k3, pv, csr, csp, csc, crank
         return pairs, int(num_kmers), n
     if chunked:
+        from bella_tpu.utils.compile_ahead import join_ahead
+
         pack_sc = packed and k <= 31
         khi, klo, p1, sc0, p2 = _extract_stream_chunked(
-            reads, k, pack_ridpos=packed
+            reads, k, pack_ridpos=packed,
+            on_specs=lambda s: _prewarm_count_stages(
+                s, config.lower_freq, config.upper_freq, packed, pack_sc
+            ),
         )
+        join_ahead(_sort_kmers, khi, klo, p1, sc0, p2,
+                   pack_ridpos=packed, pack_sc=pack_sc)
         khi, klo, p1, sc0, p2 = _sort_kmers(
             khi, klo, p1, sc0, p2, pack_ridpos=packed, pack_sc=pack_sc
         )
+        join_ahead(_count_sorted, khi, klo, p1, sc0, p2,
+                   lower=config.lower_freq, upper=config.upper_freq,
+                   pack_ridpos=packed, pack_sc=pack_sc)
         live, sr, sp, sc, rank, cnt, nnzs, num_kmers = _count_sorted(
             khi, klo, p1, sc0, p2,
             lower=config.lower_freq, upper=config.upper_freq,
@@ -2016,6 +2174,9 @@ def detect_overlaps(reads, config: BellaConfig):
         # so the sort and the relay round trip overlap; dropping the
         # full-stream references lets the backend free ~14 bytes/position
         # of HBM before the emit/chain stages allocate.
+        from bella_tpu.utils.compile_ahead import compile_ahead, join_ahead
+
+        join_ahead(_compact_sort, live, sr, sp, sc, rank, cnt)
         comp = _compact_sort(live, sr, sp, sc, rank, cnt)
         del live, sr, sp, sc, rank, cnt
         narr = np.asarray(nnzs)  # one readback: nnz + per-lag prefix rows
@@ -2026,16 +2187,37 @@ def detect_overlaps(reads, config: BellaConfig):
         # emit and chain stages run on (upper-1) * size rows, so compact
         # padding multiplies directly into the two big sorts
         size = min(_size_bucket(max(n, 1 << 14)), int(comp[0].shape[0]))
-        csr, csp, csc, crank = _compact_slice(*comp, size=size)
-        del comp
         # per-lag emission prefixes: lag d streams only the segments
         # that can pair at lag d — 3-4x fewer emitted rows into the
         # chain sort on long-read error k-mer distributions
         lag_sizes = _lag_sizes(narr, size, config.upper_freq)
-        hv, k3, pv, _n_cand = _fused_emit_packed(
-            nnzs[0].astype(jnp.int32), csr, csp, csc, crank, lengths_dev,
+        emit_kw = dict(
             kmer_size=k, upper=config.upper_freq, bin_size=config.bin_size,
             lag_sizes=tuple(lag_sizes),
+        )
+        try:  # wave B: the nnz readback fixed every remaining stage shape
+            n0 = jax.ShapeDtypeStruct((), jnp.int32)
+            cs = jax.eval_shape(
+                partial(_compact_slice, size=size), *comp
+            )
+            compile_ahead(
+                _fused_emit_packed, n0, *cs, lengths_dev, **emit_kw
+            )
+            ems = jax.eval_shape(
+                partial(_fused_emit_packed, **emit_kw), n0, *cs, lengths_dev
+            )
+            compile_ahead(_chain_sort_packed, *ems[:3])
+        except Exception:
+            pass
+        csr, csp, csc, crank = _compact_slice(*comp, size=size)
+        del comp
+        join_ahead(
+            _fused_emit_packed, nnzs[0].astype(jnp.int32),
+            csr, csp, csc, crank, lengths_dev, **emit_kw,
+        )
+        hv, k3, pv, _n_cand = _fused_emit_packed(
+            nnzs[0].astype(jnp.int32), csr, csp, csc, crank, lengths_dev,
+            **emit_kw,
         )
         # the chain's scans cover only the live prefix of the sorted
         # stream — the full-stream materialisation is the memory hog at

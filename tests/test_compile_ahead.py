@@ -1,0 +1,84 @@
+"""Concurrent compile-ahead utility (utils/compile_ahead.py).
+
+On the CPU test backend the utility is OFF by default (background
+compiles would contend with the foreground for the same cores);
+BELLA_COMPILE_AHEAD=1 force-enables it so the dedup/join handshake is
+covered here without TPU hardware.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from bella_tpu.utils import compile_ahead as ca
+
+
+@jax.jit
+def _toy(a, b):
+    return jnp.cumsum(a) + b
+
+
+def test_disabled_on_cpu_by_default(monkeypatch):
+    monkeypatch.delenv("BELLA_COMPILE_AHEAD", raising=False)
+    join = ca.compile_ahead(_toy, jnp.zeros(7, jnp.int32),
+                            jnp.zeros(7, jnp.int32))
+    assert join() is None
+    assert ca.spec_key(_toy, (jnp.zeros(7, jnp.int32),), {}) not in ca._PENDING
+
+
+def test_compile_join_and_dedup(monkeypatch):
+    monkeypatch.setenv("BELLA_COMPILE_AHEAD", "1")
+    a = jnp.arange(33, dtype=jnp.int32)
+    b = jnp.ones(33, jnp.int32)
+    j1 = ca.compile_ahead(_toy, a, b)
+    # duplicate submission returns the SAME thread's join
+    j2 = ca.compile_ahead(_toy, a, b)
+    j1()
+    j2()
+    key = ca.spec_key(_toy, (a, b), {})
+    assert key in ca._PENDING and not ca._PENDING[key].is_alive()
+    # the real call after the compile-ahead is correct
+    out = np.asarray(_toy(a, b))
+    np.testing.assert_array_equal(out, np.cumsum(np.arange(33)) + 1)
+    # join_ahead with matching real args joins without error
+    ca.join_ahead(_toy, a, b)
+
+
+def test_specs_accept_sds_none_and_pytrees(monkeypatch):
+    monkeypatch.setenv("BELLA_COMPILE_AHEAD", "1")
+
+    @jax.jit
+    def f(x, opt, cols):
+        s = x.sum() + cols[0].sum() + cols[1].sum()
+        return s if opt is None else s + opt.sum()
+
+    sds = jax.ShapeDtypeStruct((5,), jnp.float32)
+    join = ca.compile_ahead(f, sds, None, (sds, sds))
+    join()
+    x = jnp.ones(5, jnp.float32)
+    ca.join_ahead(f, x, None, (x, x))
+    assert float(f(x, None, (x, x))) == 15.0
+
+
+def test_static_kwargs_in_key(monkeypatch):
+    monkeypatch.setenv("BELLA_COMPILE_AHEAD", "1")
+
+    @jax.jit
+    def g(x, *, n: int = 1):
+        return x * n
+
+    a = jnp.ones(3, jnp.int32)
+    k1 = ca.spec_key(g, (a,), {"n": 1})
+    k2 = ca.spec_key(g, (a,), {"n": 2})
+    assert k1 != k2
+
+
+def test_failure_is_swallowed(monkeypatch):
+    monkeypatch.setenv("BELLA_COMPILE_AHEAD", "1")
+
+    class NotAFn:
+        pass
+
+    join = ca.compile_ahead(NotAFn(), jnp.zeros(3, jnp.int32))
+    join()  # the thread swallowed the lowering failure
