@@ -159,12 +159,19 @@ def parse_fastq(path: str, with_quals: bool = False,
     replacement) for plain files; gzip and budget-bounded ingest go
     through the streaming vectorized numpy path (stream_fastq), whose
     peak text residency is one block instead of the whole file."""
+    # an EXPLICIT budget (arg or env) keeps the block-streaming path so
+    # its text residency bound is honored; with no explicit budget the
+    # native parser takes every plain file regardless of size — its
+    # text is a file-backed mmap (reclaimable, not anonymous RAM), and
+    # on slow-memory hosts the vectorized-numpy fallback is ~100x
+    # slower (measured 314 s vs 2.4 s on a 276 MB corpus)
+    explicit = block_bytes > 0 or "BELLA_INGEST_BLOCK_MB" in os.environ
     if block_bytes <= 0:
         block_bytes = int(os.environ.get("BELLA_INGEST_BLOCK_MB", 256)) << 20
     if not path.endswith(".gz"):
         from bella_tpu.native import parse_fastq_native
 
-        if os.path.getsize(path) <= block_bytes:
+        if not explicit or os.path.getsize(path) <= block_bytes:
             native = parse_fastq_native(path)
             if native is not None:
                 names, codes, offsets, err_sum, err_bases = native
@@ -179,14 +186,19 @@ def parse_fastq(path: str, with_quals: bool = False,
 
 
 def _ragged_gather_index(starts: np.ndarray, lengths: np.ndarray, total: int) -> np.ndarray:
-    """Flat indices selecting [starts[i], starts[i]+lengths[i]) per row."""
+    """Flat indices selecting [starts[i], starts[i]+lengths[i]) per row.
+
+    Three full-stream passes (repeat, arange, add-in-place) instead of
+    six: with idx = starts[row] + (pos - offs[row]), the two per-row
+    gathers fold into one repeated delta — it matters because ingest
+    hosts can be memory-bandwidth-starved (see parse_fastq)."""
     if total == 0:
         return np.zeros(0, dtype=np.int64)
-    row = np.repeat(np.arange(len(starts)), lengths)
     offs = np.zeros(len(starts) + 1, dtype=np.int64)
     np.cumsum(lengths, out=offs[1:])
-    within = np.arange(total, dtype=np.int64) - offs[row]
-    return starts[row] + within
+    idx = np.repeat(starts.astype(np.int64) - offs[:-1], lengths)
+    idx += np.arange(total, dtype=np.int64)
+    return idx
 
 
 def parse_fofn(path: str) -> List[str]:
