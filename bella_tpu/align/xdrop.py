@@ -39,6 +39,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from bella_tpu.utils.compile_ahead import ahead_call
+
 NINF = jnp.int32(-(1 << 20))
 PAD_CHAR = jnp.int8(127)  # never equals a 2-bit base code
 
@@ -618,7 +620,11 @@ def prewarm_align_kernels(read_lengths: np.ndarray, config) -> bool:
                 try:
                     if cancel.is_set():
                         return
-                    _seed_extend_batch_pallas(
+                    # ahead_call: the tier executable lands in the
+                    # process map AND the on-disk executable cache, so
+                    # later runs skip the compile entirely
+                    ahead_call(
+                        _seed_extend_batch_pallas,
                         reads_w, lens_z, blk, xdrop=xdrop, kmer_size=k,
                         band=band, interpret=False, max_steps=max_steps,
                         seq_len=t,
@@ -683,6 +689,10 @@ def align_candidates(
     xavierAlign (include/align.hpp:152-202): if the seed's forward
     strings disagree (seed_rc), the H read is reverse-complemented and
     the seed H coordinate flipped before extension.
+
+    Kernel dispatches route through the executable cache
+    (utils/compile_ahead.ahead_call): tier variants land on disk, so a
+    later process skips their compiles entirely.
 
     mesh: optional jax.sharding.Mesh — batches run data-parallel over
     the mesh's one axis (reads replicated, pair rows sharded), the
@@ -825,7 +835,8 @@ def align_candidates(
             # one stacked (6, B) transfer per batch (see
             # _seed_extend_batch_pallas pairblk)
             blk = _put_blk(_pair_block(pairs, sel, valid))
-            out = _seed_extend_batch_pallas(
+            out = ahead_call(
+                _seed_extend_batch_pallas,
                 reads_dev, lens_dev, blk, xdrop=int(config.xdrop),
                 kmer_size=k, band=pallas_band, interpret=interpret,
                 max_steps=max_steps, seq_len=seq_len,
@@ -914,7 +925,8 @@ def align_candidates(
                 validp = np.arange(rb) < nv
                 seq_len = int(tier[selp[:nv]].max())
                 blk = _put_blk(_pair_block(pairs, selp, validp))
-                out = _seed_extend_batch_pallas(
+                out = ahead_call(
+                    _seed_extend_batch_pallas,
                     reads_dev, lens_dev, blk,
                     xdrop=int(config.xdrop), kmer_size=k,
                     band=2 * pallas_band, interpret=interpret,

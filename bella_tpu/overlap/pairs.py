@@ -506,18 +506,20 @@ def _extract_chunk(codes_bytes, lengths, offsets, n_real, rid_base,
     with zero-length reads that own no positions), so the host can
     pipeline chunk i+1's upload with chunk i's extraction — the relay
     moves ~25 MB/s, so an unpipelined upload is pure wall-clock."""
+    from bella_tpu.utils.compile_ahead import ahead_call
+
     u32 = jnp.uint32
     if pack_ridpos:
-        khi, klo, ridpos, sc, _ = _extract_kmers_phased(
-            codes_bytes, lengths, offsets, n_real,
+        khi, klo, ridpos, sc, _ = ahead_call(
+            _extract_kmers_phased, codes_bytes, lengths, offsets, n_real,
             kmer_size=kmer_size, pack_ridpos=True,
         )
         # chunk-local -> global ids; phantom/pad rows are sentinel-keyed,
         # their payloads are never read (same contract as _chunk_partition)
         ridpos = ridpos + (rid_base.astype(u32) << u32(16))
         return khi, klo, ridpos, sc, None
-    khi, klo, rid, sc, pos = _extract_kmers_phased(
-        codes_bytes, lengths, offsets, n_real,
+    khi, klo, rid, sc, pos = ahead_call(
+        _extract_kmers_phased, codes_bytes, lengths, offsets, n_real,
         kmer_size=kmer_size, pack_ridpos=False,
     )
     return khi, klo, rid + rid_base, sc, pos
@@ -809,33 +811,31 @@ def _fused_count(
     count+filter) so no single compile-time allocation plan approaches
     HBM at 100M+-position shapes. phased=True means `codes` is the
     2-bit-packed byte stream (+8 pad bytes) for the 4-phase extractor."""
-    from bella_tpu.utils.compile_ahead import join_ahead
+    from bella_tpu.utils.compile_ahead import ahead_call
 
     # strand bit in the key (3-operand sort) whenever the high k-mer
     # word leaves bit 31 free — always true at the packed path's k <= 28
     pack_sc = pack_ridpos and kmer_size <= 31
-    extract = partial(
-        _extract_kmers_phased, kmer_size=kmer_size, pack_ridpos=pack_ridpos,
-    ) if phased else partial(
-        _extract_kmers, kmer_size=kmer_size, use_hopc=use_hopc,
-        pack_ridpos=pack_ridpos,
-    )
+    ex_fn = _extract_kmers_phased if phased else _extract_kmers
+    ex_kw = dict(kmer_size=kmer_size, pack_ridpos=pack_ridpos)
+    if not phased:
+        ex_kw["use_hopc"] = use_hopc
     try:  # fire wave A while the foreground pays the extraction compile
-        es = jax.eval_shape(extract, codes, lengths, offsets, n_real)
+        es = jax.eval_shape(
+            partial(ex_fn, **ex_kw), codes, lengths, offsets, n_real
+        )
         _prewarm_count_stages(es, lower, upper, pack_ridpos, pack_sc)
     except Exception:
         pass
-    khi, klo, p1, sc, p2 = extract(codes, lengths, offsets, n_real)
-    join_ahead(_sort_kmers, khi, klo, p1, sc, p2,
-               pack_ridpos=pack_ridpos, pack_sc=pack_sc)
-    khi, klo, p1, sc, p2 = _sort_kmers(
-        khi, klo, p1, sc, p2, pack_ridpos=pack_ridpos, pack_sc=pack_sc
+    khi, klo, p1, sc, p2 = ahead_call(
+        ex_fn, codes, lengths, offsets, n_real, **ex_kw
     )
-    join_ahead(_count_sorted, khi, klo, p1, sc, p2,
-               lower=lower, upper=upper,
-               pack_ridpos=pack_ridpos, pack_sc=pack_sc)
-    return _count_sorted(
-        khi, klo, p1, sc, p2,
+    khi, klo, p1, sc, p2 = ahead_call(
+        _sort_kmers, khi, klo, p1, sc, p2,
+        pack_ridpos=pack_ridpos, pack_sc=pack_sc,
+    )
+    return ahead_call(
+        _count_sorted, khi, klo, p1, sc, p2,
         lower=lower, upper=upper, pack_ridpos=pack_ridpos, pack_sc=pack_sc,
     )
 
@@ -1120,10 +1120,9 @@ def _chain_packed(
     full-stream materialisation — only cover the live prefix (bucketed).
     At 100M+-row streams this is the difference between fitting HBM and
     not."""
-    from bella_tpu.utils.compile_ahead import join_ahead
+    from bella_tpu.utils.compile_ahead import ahead_call
 
-    join_ahead(_chain_sort_packed, hv, k3, pv)
-    hv, k3, pv = _chain_sort_packed(hv, k3, pv)
+    hv, k3, pv = ahead_call(_chain_sort_packed, hv, k3, pv)
     if callable(live_rows):
         # the host round trip for the live count overlaps the sort
         # executing on device
@@ -1314,7 +1313,7 @@ def _fused_count_wide(
 ):
     """Wide-id phase-1 driver (extract -> sort -> count), mirroring
     _fused_count with rid/possc operand layout."""
-    from bella_tpu.utils.compile_ahead import join_ahead
+    from bella_tpu.utils.compile_ahead import ahead_call
 
     extract = partial(
         _extract_kmers_phased, kmer_size=kmer_size, pack_ridpos=False,
@@ -1328,11 +1327,10 @@ def _fused_count_wide(
     except Exception:
         pass
     khi, klo, rid, sc, pos = extract(codes, lengths, offsets, n_real)
-    join_ahead(_sort_kmers_wide, khi, klo, rid, pos, sc)
-    khi, klo, rid, possc = _sort_kmers_wide(khi, klo, rid, pos, sc)
-    join_ahead(_count_sorted_wide, khi, klo, rid, possc,
-               lower=lower, upper=upper)
-    return _count_sorted_wide(khi, klo, rid, possc, lower=lower, upper=upper)
+    khi, klo, rid, possc = ahead_call(_sort_kmers_wide, khi, klo, rid,
+                                      pos, sc)
+    return ahead_call(_count_sorted_wide, khi, klo, rid, possc,
+                      lower=lower, upper=upper)
 
 
 @partial(jax.jit, static_argnames=("kmer_size", "upper", "bin_size",
@@ -1420,10 +1418,9 @@ def _chain_wide(h, v, k3, pv, read_lengths, kmer_size: int, bin_size: int,
                 live_rows=None, lengths_np=None):
     """Wide-id sort + fused chain+compact (live-prefix trimming as in
     _chain_packed): returns CandidatePairs directly."""
-    from bella_tpu.utils.compile_ahead import join_ahead
+    from bella_tpu.utils.compile_ahead import ahead_call
 
-    join_ahead(_chain_sort_wide, h, v, k3, pv)
-    h, v, k3, pv = _chain_sort_wide(h, v, k3, pv)
+    h, v, k3, pv = ahead_call(_chain_sort_wide, h, v, k3, pv)
     if callable(live_rows):
         live_rows = live_rows()
     if live_rows is not None:
@@ -1611,7 +1608,7 @@ def _finish_chain(ops, read_lengths, lengths_np, kmer_size: int,
     the count's relay round trip blocks, so the two overlap; phase C
     then moves exactly the pair bucket over the relay."""
     n = int(ops[0].shape[0])
-    from bella_tpu.utils.compile_ahead import compile_ahead, join_ahead
+    from bella_tpu.utils.compile_ahead import ahead_call, compile_ahead
 
     try:  # wave C: the live-count readback fixed the finish shapes
         fs = jax.eval_shape(
@@ -1625,19 +1622,16 @@ def _finish_chain(ops, read_lengths, lengths_np, kmer_size: int,
             compile_ahead(_sort_seedkey, fs[1])
     except Exception:
         pass
-    join_ahead(_chain_finish, ops, read_lengths,
-               kmer_size=kmer_size, bin_size=bin_size, wide=wide)
-    cols, key, nseed = _chain_finish(
-        ops, read_lengths, kmer_size=kmer_size, bin_size=bin_size, wide=wide
+    cols, key, nseed = ahead_call(
+        _chain_finish, ops, read_lengths,
+        kmer_size=kmer_size, bin_size=bin_size, wide=wide,
     )
     del ops
     carry = n > (1 << 23)  # huge streams: gathers are the slow path
     if carry:
-        join_ahead(_sort_carry, key, cols)
-        sorted_cols = _sort_carry(key, cols)
+        sorted_cols = ahead_call(_sort_carry, key, cols)
     else:
-        join_ahead(_sort_seedkey, key)
-        skey = _sort_seedkey(key)
+        skey = ahead_call(_sort_seedkey, key)
     num = int(nseed)  # round trip overlaps the phase-B sort
     if num == 0:
         return CandidatePairs.empty()
@@ -2048,7 +2042,7 @@ def detect_overlaps(reads, config: BellaConfig):
             codes_packed = codes.astype(np.int8)
     if wide:
         if chunked:
-            from bella_tpu.utils.compile_ahead import join_ahead
+            from bella_tpu.utils.compile_ahead import ahead_call
 
             khi, klo, rid, sc0, pos = _extract_stream_chunked(
                 reads, k, pack_ridpos=False,
@@ -2056,13 +2050,12 @@ def detect_overlaps(reads, config: BellaConfig):
                     s, config.lower_freq, config.upper_freq
                 ),
             )
-            join_ahead(_sort_kmers_wide, khi, klo, rid, pos, sc0)
-            khi, klo, rid, possc = _sort_kmers_wide(khi, klo, rid, pos, sc0)
-            join_ahead(_count_sorted_wide, khi, klo, rid, possc,
-                       lower=config.lower_freq, upper=config.upper_freq)
+            khi, klo, rid, possc = ahead_call(
+                _sort_kmers_wide, khi, klo, rid, pos, sc0
+            )
             (reliable, sr, sp, sc, rank, cnt, nnzs,
-             num_kmers) = _count_sorted_wide(
-                khi, klo, rid, possc,
+             num_kmers) = ahead_call(
+                _count_sorted_wide, khi, klo, rid, possc,
                 lower=config.lower_freq, upper=config.upper_freq,
             )
             del khi, klo, rid, possc, sc0, pos
@@ -2081,10 +2074,9 @@ def detect_overlaps(reads, config: BellaConfig):
         # dispatch the compaction sort BEFORE blocking on the nnz
         # readback: the sort (no size dependence) then runs on device
         # while the ~27 ms relay round trip is in flight
-        from bella_tpu.utils.compile_ahead import compile_ahead, join_ahead
+        from bella_tpu.utils.compile_ahead import ahead_call, compile_ahead
 
-        join_ahead(_compact_sort_wide, reliable, sr, sp, sc, rank, cnt)
-        comp = _compact_sort_wide(reliable, sr, sp, sc, rank, cnt)
+        comp = ahead_call(_compact_sort_wide, reliable, sr, sp, sc, rank, cnt)
         del reliable, sr, sp, sc, rank, cnt
         narr = np.asarray(nnzs)
         n = int(narr[0])
@@ -2109,15 +2101,13 @@ def detect_overlaps(reads, config: BellaConfig):
             compile_ahead(_chain_sort_wide, *ems[:4])
         except Exception:
             pass
-        csr, csp, csc, crank = _compact_slice_wide(*comp, size=size)
+        csr, csp, csc, crank = ahead_call(
+            _compact_slice_wide, *comp, size=size
+        )
         del comp
-        join_ahead(
+        h, v, k3, pv, _n_cand = ahead_call(
             _fused_emit_wide, nnzs[0].astype(jnp.int32),
             csr, csp, csc, crank, lengths_dev, **emit_kw,
-        )
-        h, v, k3, pv, _n_cand = _fused_emit_wide(
-            nnzs[0].astype(jnp.int32), csr, csp, csc, crank, lengths_dev,
-            **emit_kw,
         )
         pairs = _chain_wide(
             h, v, k3, pv, lengths_dev, kmer_size=k,
@@ -2127,7 +2117,7 @@ def detect_overlaps(reads, config: BellaConfig):
         del h, v, k3, pv, csr, csp, csc, crank
         return pairs, int(num_kmers), n
     if chunked:
-        from bella_tpu.utils.compile_ahead import join_ahead
+        from bella_tpu.utils.compile_ahead import ahead_call
 
         pack_sc = packed and k <= 31
         khi, klo, p1, sc0, p2 = _extract_stream_chunked(
@@ -2136,16 +2126,12 @@ def detect_overlaps(reads, config: BellaConfig):
                 s, config.lower_freq, config.upper_freq, packed, pack_sc
             ),
         )
-        join_ahead(_sort_kmers, khi, klo, p1, sc0, p2,
-                   pack_ridpos=packed, pack_sc=pack_sc)
-        khi, klo, p1, sc0, p2 = _sort_kmers(
-            khi, klo, p1, sc0, p2, pack_ridpos=packed, pack_sc=pack_sc
+        khi, klo, p1, sc0, p2 = ahead_call(
+            _sort_kmers, khi, klo, p1, sc0, p2,
+            pack_ridpos=packed, pack_sc=pack_sc,
         )
-        join_ahead(_count_sorted, khi, klo, p1, sc0, p2,
-                   lower=config.lower_freq, upper=config.upper_freq,
-                   pack_ridpos=packed, pack_sc=pack_sc)
-        live, sr, sp, sc, rank, cnt, nnzs, num_kmers = _count_sorted(
-            khi, klo, p1, sc0, p2,
+        live, sr, sp, sc, rank, cnt, nnzs, num_kmers = ahead_call(
+            _count_sorted, khi, klo, p1, sc0, p2,
             lower=config.lower_freq, upper=config.upper_freq,
             pack_ridpos=packed, pack_sc=pack_sc,
         )
@@ -2174,10 +2160,9 @@ def detect_overlaps(reads, config: BellaConfig):
         # so the sort and the relay round trip overlap; dropping the
         # full-stream references lets the backend free ~14 bytes/position
         # of HBM before the emit/chain stages allocate.
-        from bella_tpu.utils.compile_ahead import compile_ahead, join_ahead
+        from bella_tpu.utils.compile_ahead import ahead_call, compile_ahead
 
-        join_ahead(_compact_sort, live, sr, sp, sc, rank, cnt)
-        comp = _compact_sort(live, sr, sp, sc, rank, cnt)
+        comp = ahead_call(_compact_sort, live, sr, sp, sc, rank, cnt)
         del live, sr, sp, sc, rank, cnt
         narr = np.asarray(nnzs)  # one readback: nnz + per-lag prefix rows
         n = int(narr[0])
@@ -2209,15 +2194,11 @@ def detect_overlaps(reads, config: BellaConfig):
             compile_ahead(_chain_sort_packed, *ems[:3])
         except Exception:
             pass
-        csr, csp, csc, crank = _compact_slice(*comp, size=size)
+        csr, csp, csc, crank = ahead_call(_compact_slice, *comp, size=size)
         del comp
-        join_ahead(
+        hv, k3, pv, _n_cand = ahead_call(
             _fused_emit_packed, nnzs[0].astype(jnp.int32),
             csr, csp, csc, crank, lengths_dev, **emit_kw,
-        )
-        hv, k3, pv, _n_cand = _fused_emit_packed(
-            nnzs[0].astype(jnp.int32), csr, csp, csc, crank, lengths_dev,
-            **emit_kw,
         )
         # the chain's scans cover only the live prefix of the sorted
         # stream — the full-stream materialisation is the memory hog at

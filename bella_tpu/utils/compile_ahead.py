@@ -1,20 +1,27 @@
-"""Concurrent XLA compile-ahead for cold pipeline starts.
+"""Concurrent compile-ahead + persistent executable cache for cold
+pipeline starts.
 
-This environment's remote compile helper accepts CONCURRENT compiles
-with near-perfect parallelism (measured on the tunneled v5e: four
-distinct ~40 s sort programs compile in 48 s wall when submitted from
-four threads, vs 368 s sequentially), and a jitted function's
-``.lower(...).compile()`` populates the executable cache that the later
-real call hits (the first call after a compile-ahead pays ~1 s of
-re-trace instead of the compile). A cold pipeline run should therefore
-fire the compile of every stage whose input shapes are already
-derivable on a daemon thread, and join right before the foreground
-call of the same signature (so a half-finished background compile never
-races a foreground compile of the same program).
+Two measured properties of this environment's TPU toolchain shape the
+design (see BASELINE.md round-3 notes):
 
-Stage input shapes are derived with ``jax.eval_shape`` chains from the
-real leading-stage inputs — no duplicated shape logic, so drift can
-only produce a wasted compile, never a wrong result.
+* the remote compile helper accepts CONCURRENT compiles with
+  near-perfect parallelism (4 fresh ~40 s sort programs: 171 s
+  sequential vs 55 s threaded), and
+* ``jax.experimental.serialize_executable`` round-trips compiled
+  executables on this backend (21 s compile -> 6 MB blob ->
+  0.01 s deserialize), while JAX's own persistent compilation cache is
+  bypassed by the remote-compile path.
+
+So stage invocations route through ``ahead_call``: the executable comes
+from (1) the in-process map, (2) the on-disk cache keyed by a hash of
+the lowered StableHLO (exact — any code or shape change changes the
+key), or (3) a fresh compile, serialized back to disk. ``compile_ahead``
+fires (2)/(3) on daemon threads as soon as a stage's input shapes are
+derivable — shapes chain through ``jax.eval_shape`` from the real
+leading-stage inputs, so drift can only waste a compile, never change
+a result. ``join_ahead`` (or ``ahead_call`` itself) joins right before
+the foreground needs the program, so a half-finished background
+compile never races a foreground compile of the same signature.
 
 No reference analogue: the AOT C++ binary (makefile-nersc:54-58) never
 pays a JIT cold start; this is the TPU-native counterweight to it.
@@ -22,22 +29,29 @@ pays a JIT cold start; this is the TPU-native counterweight to it.
 
 from __future__ import annotations
 
+import os
 import threading
-from typing import Any, Callable, Dict, Tuple
+from typing import Any, Callable, Dict, Optional, Tuple
 
-__all__ = ["compile_ahead", "join_ahead", "spec_key"]
+__all__ = ["ahead_call", "compile_ahead", "join_ahead", "spec_key"]
 
 _PENDING: Dict[Tuple, threading.Thread] = {}
+_EXES: Dict[Tuple, Any] = {}
 _LOCK = threading.Lock()
+
+
+def _xc_dir() -> str:
+    return os.environ.get("BELLA_XC_DIR") or os.path.join(
+        os.path.expanduser("~"), ".cache", "bella_tpu", "xc"
+    )
 
 
 def _enabled() -> bool:
     """On by default only where it pays: the TPU backend's remote
-    compile helper parallelizes, while on the CPU backend (tests, the
-    8-device virtual mesh) background compiles just contend with the
-    foreground for the same cores. BELLA_COMPILE_AHEAD=0/1 overrides."""
-    import os
-
+    compile helper parallelizes and forgets, while on the CPU backend
+    (tests, the 8-device virtual mesh) compiles are fast and background
+    threads just contend with the foreground for the same cores.
+    BELLA_COMPILE_AHEAD=0/1 overrides."""
     v = os.environ.get("BELLA_COMPILE_AHEAD")
     if v is not None:
         return v not in ("0", "false", "no")
@@ -50,13 +64,13 @@ def _enabled() -> bool:
 
 
 def spec_key(fn, args, statics) -> Tuple:
-    """Cache key: function identity + leaf (shape, dtype) signature +
-    static kwargs. None leaves (optional operands) keyed as 'None'."""
+    """In-process cache key: function identity + leaf (shape, dtype)
+    signature + static kwargs. None leaves (optional operands) keyed as
+    'None'. (The DISK key is the lowered-HLO hash — exact; this key
+    only routes within one process, where fn identity is stable.)"""
     import jax
 
-    leaves = jax.tree_util.tree_leaves(
-        args, is_leaf=lambda x: x is None
-    )
+    leaves = jax.tree_util.tree_leaves(args, is_leaf=lambda x: x is None)
     sig = tuple(
         "None" if x is None else (tuple(x.shape), str(x.dtype))
         for x in leaves
@@ -64,16 +78,78 @@ def spec_key(fn, args, statics) -> Tuple:
     return (id(fn), sig, tuple(sorted(statics.items())))
 
 
+def _to_specs(args):
+    import jax
+
+    return jax.tree_util.tree_map(
+        lambda x: None if x is None
+        else jax.ShapeDtypeStruct(x.shape, x.dtype),
+        args,
+        is_leaf=lambda x: x is None,
+    )
+
+
+def _hlo_key(lowered) -> str:
+    import hashlib
+
+    import jax
+
+    dev = jax.devices()[0]
+    salt = f"{jax.__version__}|{dev.platform}|{dev.device_kind}|"
+    return hashlib.sha256(
+        (salt + lowered.as_text()).encode()
+    ).hexdigest()[:40]
+
+
+def _obtain_exe(fn, specs, statics, dbg: Optional[str] = None):
+    """Trace+lower (local, cheap), then: disk-cache hit -> deserialize;
+    miss -> compile on the helper and serialize back. Returns a
+    callable executable taking the lowered positional args."""
+    import pickle
+    import time
+
+    lowered = fn.lower(*specs, **statics)
+    path = os.path.join(_xc_dir(), _hlo_key(lowered) + ".xc")
+    if os.path.exists(path):
+        try:
+            from jax.experimental import serialize_executable as se
+
+            with open(path, "rb") as f:
+                blob, in_tree, out_tree = pickle.load(f)
+            exe = se.deserialize_and_load(blob, in_tree, out_tree)
+            if dbg:
+                print(f"[compile-ahead] disk-hit {dbg}", flush=True)
+            return exe
+        except Exception:
+            pass  # stale/corrupt blob: fall through to a fresh compile
+    t0 = time.time()
+    compiled = lowered.compile()
+    if dbg:
+        print(f"[compile-ahead] compiled {dbg} {time.time()-t0:.1f}s",
+              flush=True)
+    try:
+        from jax.experimental import serialize_executable as se
+
+        blob, in_tree, out_tree = se.serialize(compiled)
+        os.makedirs(_xc_dir(), exist_ok=True)
+        tmp = f"{path}.tmp{os.getpid()}.{threading.get_ident()}"
+        with open(tmp, "wb") as f:
+            pickle.dump((blob, in_tree, out_tree), f)
+        os.replace(tmp, path)
+    except Exception:
+        pass  # serialization is an optimization, never a requirement
+    return compiled
+
+
 def compile_ahead(fn, *args, **statics) -> Callable[[], None]:
-    """Compile ``fn(*args, **statics)`` on a daemon thread.
+    """Obtain ``fn(*args, **statics)``'s executable on a daemon thread
+    (disk cache or fresh compile).
 
     ``args`` may be real arrays, ShapeDtypeStructs, or pytrees of
     either (None allowed for optional operands) — only shapes/dtypes
     are read. Returns a join callable; a duplicate submission returns
     the original thread's join. Failures are swallowed: a compile-ahead
     can only waste a compile, never take the pipeline down."""
-    import jax
-
     if not _enabled():
         return lambda: None
     try:
@@ -84,32 +160,18 @@ def compile_ahead(fn, *args, **statics) -> Callable[[], None]:
         t = _PENDING.get(key)
         if t is not None:
             return t.join
-        specs = jax.tree_util.tree_map(
-            lambda x: None if x is None
-            else jax.ShapeDtypeStruct(x.shape, x.dtype),
-            args,
-            is_leaf=lambda x: x is None,
-        )
-
-        import os
-        import time
-
-        dbg = os.environ.get("BELLA_COMPILE_AHEAD_DEBUG")
-        name = getattr(fn, "__name__", repr(fn))
+        specs = _to_specs(args)
+        dbg = (getattr(fn, "__name__", repr(fn))
+               if os.environ.get("BELLA_COMPILE_AHEAD_DEBUG") else None)
 
         def _go():
-            t0 = time.time()
-            if dbg:
-                print(f"[compile-ahead] fire {name}", flush=True)
             try:
-                fn.lower(*specs, **statics).compile()
-                if dbg:
-                    print(f"[compile-ahead] done {name} "
-                          f"{time.time()-t0:.1f}s", flush=True)
+                exe = _obtain_exe(fn, specs, statics, dbg)
+                with _LOCK:
+                    _EXES[key] = exe
             except Exception as e:
                 if dbg:
-                    print(f"[compile-ahead] FAIL {name} "
-                          f"{time.time()-t0:.1f}s {e!r}", flush=True)
+                    print(f"[compile-ahead] FAIL {dbg} {e!r}", flush=True)
 
         t = threading.Thread(
             target=_go, daemon=True, name="bella-compile-ahead"
@@ -123,22 +185,47 @@ def join_ahead(fn, *args, **statics) -> None:
     """Join a pending compile-ahead matching this exact call signature
     (no-op when none was submitted): call right before the foreground
     invocation so it never races the background compile."""
-    import os
-    import time
-
     try:
         key = spec_key(fn, args, statics)
     except Exception:
         return
     with _LOCK:
         t = _PENDING.get(key)
-    dbg = os.environ.get("BELLA_COMPILE_AHEAD_DEBUG")
-    name = getattr(fn, "__name__", repr(fn))
     if t is not None:
-        t0 = time.time()
         t.join()
-        if dbg:
-            print(f"[compile-ahead] join {name} waited "
-                  f"{time.time()-t0:.1f}s", flush=True)
-    elif dbg:
-        print(f"[compile-ahead] MISS {name} (no pending key)", flush=True)
+
+
+def ahead_call(fn, *args, **statics):
+    """Invoke a jitted stage through the executable cache.
+
+    Resolution order: join any in-flight compile-ahead for this
+    signature, then use its executable; else trace+lower and hit the
+    disk cache (or compile and populate it); any failure falls back to
+    the plain jit call. Disabled (plain call) on non-TPU backends."""
+    if not _enabled():
+        return fn(*args, **statics)
+    try:
+        key = spec_key(fn, args, statics)
+    except Exception:
+        return fn(*args, **statics)
+    with _LOCK:
+        t = _PENDING.get(key)
+    if t is not None:
+        t.join()
+    with _LOCK:
+        exe = _EXES.get(key)
+    if exe is None:
+        try:
+            dbg = (getattr(fn, "__name__", repr(fn))
+                   if os.environ.get("BELLA_COMPILE_AHEAD_DEBUG") else None)
+            exe = _obtain_exe(fn, _to_specs(args), statics, dbg)
+            with _LOCK:
+                _EXES[key] = exe
+        except Exception:
+            return fn(*args, **statics)
+    try:
+        return exe(*args)
+    except Exception:
+        # e.g. a donated buffer was already consumed by a failed call;
+        # the jit path recompiles but never returns a wrong result
+        return fn(*args, **statics)

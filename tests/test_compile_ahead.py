@@ -82,3 +82,47 @@ def test_failure_is_swallowed(monkeypatch):
 
     join = ca.compile_ahead(NotAFn(), jnp.zeros(3, jnp.int32))
     join()  # the thread swallowed the lowering failure
+
+
+def test_ahead_call_matches_jit(monkeypatch, tmp_path):
+    monkeypatch.setenv("BELLA_COMPILE_AHEAD", "1")
+    monkeypatch.setenv("BELLA_XC_DIR", str(tmp_path))
+
+    @jax.jit
+    def h(x, y, *, k: int = 3):
+        return jnp.cumsum(x) * k + y
+
+    x = jnp.arange(17, dtype=jnp.int32)
+    y = jnp.ones(17, jnp.int32)
+    want = np.asarray(h(x, y, k=5))
+    got = np.asarray(ca.ahead_call(h, x, y, k=5))
+    np.testing.assert_array_equal(got, want)
+    # the executable landed in the disk cache
+    assert any(p.suffix == ".xc" for p in tmp_path.iterdir())
+    # a cold in-process map (fresh key space) loads it back from disk
+    key = ca.spec_key(h, (x, y), {"k": 5})
+    ca._EXES.pop(key, None)
+    got2 = np.asarray(ca.ahead_call(h, x, y, k=5))
+    np.testing.assert_array_equal(got2, want)
+
+
+def test_ahead_call_plain_when_disabled(monkeypatch):
+    monkeypatch.setenv("BELLA_COMPILE_AHEAD", "0")
+
+    @jax.jit
+    def h2(x):
+        return x + 1
+
+    out = np.asarray(ca.ahead_call(h2, jnp.zeros(4, jnp.int32)))
+    np.testing.assert_array_equal(out, np.ones(4))
+    assert ca.spec_key(h2, (jnp.zeros(4, jnp.int32),), {}) not in ca._EXES
+
+
+def test_ahead_call_fallback_on_bad_fn(monkeypatch):
+    monkeypatch.setenv("BELLA_COMPILE_AHEAD", "1")
+
+    def plain(x):  # not jitted: .lower missing -> falls back to call
+        return x * 2
+
+    out = np.asarray(ca.ahead_call(plain, jnp.arange(3)))
+    np.testing.assert_array_equal(out, [0, 2, 4])
