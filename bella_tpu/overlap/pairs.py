@@ -1713,6 +1713,8 @@ def _detect_overlaps_split(reads, config: BellaConfig, budget: float,
 
     All capacities are bucketed; overflow is counted and logged, never
     silent."""
+    from bella_tpu.utils.compile_ahead import ahead_call
+
     k = config.kmer_size
     u32 = jnp.uint32
     total = len(reads.codes)
@@ -1808,7 +1810,8 @@ def _detect_overlaps_split(reads, config: BellaConfig, budget: float,
 
         off = [0] * (g1 - g0)
         for codes_dev, lengths_dev_c, offs_dev, nr_c, lo_c in chunks:
-            khi, klo_a, ridpos, sc, starts = _chunk_partition(
+            khi, klo_a, ridpos, sc, starts = ahead_call(
+                _chunk_partition,
                 codes_dev, lengths_dev_c, offs_dev,
                 jnp.int32(nr_c), jnp.int32(lo_c),
                 kmer_size=k, splits=splits, wide=wide,
@@ -1827,7 +1830,8 @@ def _detect_overlaps_split(reads, config: BellaConfig, budget: float,
                     nv = room
                 if nv <= 0:
                     continue
-                akhi, aklo, aridpos, asc = _accum_append(
+                akhi, aklo, aridpos, asc = ahead_call(
+                    _accum_append,
                     akhi, aklo, aridpos, asc, khi, klo_a, ridpos, sc,
                     np.int32(st[p]), np.int32(nv),
                     np.int32(pi * region_cap + off[pi]), cap=cap_cp,
@@ -1855,22 +1859,23 @@ def _detect_overlaps_split(reads, config: BellaConfig, budget: float,
             # wide rows carry possc as their own operand (17 bits — no
             # room in the key word), so only the 16-bit layout packs the
             # strand bit into the sort key (3 operands instead of 4)
-            khi_p, klo_p, rp_p, sc_p, _ = _sort_kmers(
+            khi_p, klo_p, rp_p, sc_p, _ = ahead_call(
+                _sort_kmers,
                 akhi[sl_lo:sl_hi], aklo[sl_lo:sl_hi],
                 aridpos[sl_lo:sl_hi], asc[sl_lo:sl_hi], None,
                 pack_ridpos=True, pack_sc=not wide,
             )
             if wide:
                 (reliable, sr, sp, scw, rank, cnt_p, nnzs_p,
-                 nk_p) = _count_sorted_wide(
-                    khi_p, klo_p, rp_p, sc_p,
+                 nk_p) = ahead_call(
+                    _count_sorted_wide, khi_p, klo_p, rp_p, sc_p,
                     lower=config.lower_freq, upper=config.upper_freq,
                 )
                 nnz_p = nnzs_p[0]
             else:
                 reliable, sr, sp, scw, rank, cnt_p, nnzs_p, nk_p = (
-                    _count_sorted(
-                        khi_p, klo_p, rp_p, sc_p, None,
+                    ahead_call(
+                        _count_sorted, khi_p, klo_p, rp_p, sc_p, None,
                         lower=config.lower_freq, upper=config.upper_freq,
                         pack_ridpos=True, pack_sc=True,
                     ))
@@ -1878,10 +1883,11 @@ def _detect_overlaps_split(reads, config: BellaConfig, budget: float,
             # compaction sort dispatched before the nnz_p readback blocks
             # (see _compact_sort): the sort overlaps the relay round trip
             if wide:
-                comp = _compact_sort_wide(reliable, sr, sp, scw, rank,
-                                          cnt_p)
+                comp = ahead_call(_compact_sort_wide, reliable, sr, sp,
+                                  scw, rank, cnt_p)
             else:
-                comp = _compact_sort(reliable, sr, sp, scw, rank, cnt_p)
+                comp = ahead_call(_compact_sort, reliable, sr, sp, scw,
+                                  rank, cnt_p)
             # drop the full-fill count outputs before the emit/chain of
             # this pass allocate (the split path runs near the budget)
             del reliable, sr, sp, scw, rank, cnt_p
@@ -1893,20 +1899,24 @@ def _detect_overlaps_split(reads, config: BellaConfig, budget: float,
                 continue
             size_p = min(_size_bucket(max(n_p, 1 << 14)), region_cap)
             if wide:
-                csr, csp, csc, crank = _compact_slice_wide(*comp, size=size_p)
+                csr, csp, csc, crank = ahead_call(
+                    _compact_slice_wide, *comp, size=size_p)
             else:
-                csr, csp, csc, crank = _compact_slice(*comp, size=size_p)
+                csr, csp, csc, crank = ahead_call(
+                    _compact_slice, *comp, size=size_p)
             del comp
             lag_sizes = _lag_sizes(narr_p, size_p, config.upper_freq)
             if wide:
-                h_p, v_p, k3_p, pv_p, nc_p = _fused_emit_wide(
+                h_p, v_p, k3_p, pv_p, nc_p = ahead_call(
+                    _fused_emit_wide,
                     nnzs_p[0].astype(jnp.int32), csr, csp, csc, crank,
                     lengths_dev, kmer_size=k, upper=config.upper_freq,
                     bin_size=config.bin_size, lag_sizes=tuple(lag_sizes),
                 )
                 emit_parts.append((h_p, v_p, k3_p, pv_p))
             else:
-                hv_p, k3_p, pv_p, nc_p = _fused_emit_packed(
+                hv_p, k3_p, pv_p, nc_p = ahead_call(
+                    _fused_emit_packed,
                     nnzs_p[0].astype(jnp.int32), csr, csp, csc, crank,
                     lengths_dev, kmer_size=k, upper=config.upper_freq,
                     bin_size=config.bin_size, lag_sizes=tuple(lag_sizes),

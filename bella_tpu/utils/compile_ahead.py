@@ -101,24 +101,124 @@ def _hlo_key(lowered) -> str:
     ).hexdigest()[:40]
 
 
-def _obtain_exe(fn, specs, statics, dbg: Optional[str] = None):
-    """Trace+lower (local, cheap), then: disk-cache hit -> deserialize;
-    miss -> compile on the helper and serialize back. Returns a
-    callable executable taking the lowered positional args."""
+_CODE_SALT: Optional[str] = None
+
+
+def _code_salt() -> str:
+    """Hash of the package's source state (path, mtime, size of every
+    .py under bella_tpu/). Keys the spec->HLO shortcut map: any source
+    change invalidates the shortcuts (one re-trace per signature
+    re-records them), while the HLO-keyed blobs themselves survive for
+    unchanged programs."""
+    global _CODE_SALT
+    if _CODE_SALT is None:
+        import hashlib
+
+        import bella_tpu
+
+        root = os.path.dirname(os.path.abspath(bella_tpu.__file__))
+        h = hashlib.sha256()
+        for dirpath, _dirs, files in sorted(os.walk(root)):
+            for f in sorted(files):
+                if f.endswith(".py"):
+                    p = os.path.join(dirpath, f)
+                    st = os.stat(p)
+                    h.update(
+                        f"{os.path.relpath(p, root)}|{st.st_mtime_ns}|"
+                        f"{st.st_size}\n".encode()
+                    )
+        _CODE_SALT = h.hexdigest()[:16]
+    return _CODE_SALT
+
+
+def _stable_key(fn, args, statics) -> Optional[str]:
+    """Cross-process signature key: code salt + module-qualified
+    function name + leaf (shape, dtype) signature + statics. Only valid
+    for top-level jitted functions (no closure state) — which every
+    pipeline stage is."""
+    import hashlib
+
+    import jax
+
+    name = f"{getattr(fn, '__module__', '?')}.{getattr(fn, '__qualname__', None)}"
+    if name.endswith(".None"):
+        return None
+    leaves = jax.tree_util.tree_leaves(args, is_leaf=lambda x: x is None)
+    sig = tuple(
+        "None" if x is None else (tuple(x.shape), str(x.dtype))
+        for x in leaves
+    )
+    body = repr((name, sig, tuple(sorted(statics.items()))))
+    return hashlib.sha256(
+        (_code_salt() + body).encode()
+    ).hexdigest()[:40]
+
+
+def _map_path(skey: str) -> str:
+    return os.path.join(_xc_dir(), "map", skey + ".k")
+
+
+def _map_lookup(skey: Optional[str]) -> Optional[str]:
+    if skey is None:
+        return None
+    try:
+        with open(_map_path(skey)) as f:
+            return f.read().strip() or None
+    except OSError:
+        return None
+
+
+def _map_record(skey: Optional[str], hkey: str) -> None:
+    if skey is None:
+        return
+    try:
+        os.makedirs(os.path.join(_xc_dir(), "map"), exist_ok=True)
+        tmp = _map_path(skey) + f".tmp{os.getpid()}.{threading.get_ident()}"
+        with open(tmp, "w") as f:
+            f.write(hkey)
+        os.replace(tmp, _map_path(skey))
+    except OSError:
+        pass
+
+
+def _blob_load(hkey: str):
+    import pickle
+
+    from jax.experimental import serialize_executable as se
+
+    with open(os.path.join(_xc_dir(), hkey + ".xc"), "rb") as f:
+        blob, in_tree, out_tree = pickle.load(f)
+    return se.deserialize_and_load(blob, in_tree, out_tree)
+
+
+def _obtain_exe(fn, specs, statics, dbg: Optional[str] = None,
+                skey: Optional[str] = None):
+    """Resolve a stage executable: (1) the spec->HLO shortcut map skips
+    even the trace for signatures this code version has seen before;
+    (2) trace+lower (local, cheap) and hit the HLO-keyed disk cache;
+    (3) compile on the helper and serialize back. Returns a callable
+    executable taking the lowered positional args."""
     import pickle
     import time
 
+    hk = _map_lookup(skey)
+    if hk is not None:
+        try:
+            exe = _blob_load(hk)
+            if dbg:
+                print(f"[compile-ahead] map-hit {dbg}", flush=True)
+            return exe
+        except Exception:
+            pass  # stale shortcut: fall through to the traced path
     lowered = fn.lower(*specs, **statics)
-    path = os.path.join(_xc_dir(), _hlo_key(lowered) + ".xc")
+    hkey = _hlo_key(lowered)
+    path = os.path.join(_xc_dir(), hkey + ".xc")
     if os.path.exists(path):
         try:
-            from jax.experimental import serialize_executable as se
-
-            with open(path, "rb") as f:
-                blob, in_tree, out_tree = pickle.load(f)
-            exe = se.deserialize_and_load(blob, in_tree, out_tree)
+            exe = _blob_load(hkey)
             if dbg:
                 print(f"[compile-ahead] disk-hit {dbg}", flush=True)
+            _map_record(skey, hkey)
             return exe
         except Exception:
             pass  # stale/corrupt blob: fall through to a fresh compile
@@ -136,6 +236,7 @@ def _obtain_exe(fn, specs, statics, dbg: Optional[str] = None):
         with open(tmp, "wb") as f:
             pickle.dump((blob, in_tree, out_tree), f)
         os.replace(tmp, path)
+        _map_record(skey, hkey)
     except Exception:
         pass  # serialization is an optimization, never a requirement
     return compiled
@@ -164,9 +265,14 @@ def compile_ahead(fn, *args, **statics) -> Callable[[], None]:
         dbg = (getattr(fn, "__name__", repr(fn))
                if os.environ.get("BELLA_COMPILE_AHEAD_DEBUG") else None)
 
+        try:
+            skey = _stable_key(fn, args, statics)
+        except Exception:
+            skey = None
+
         def _go():
             try:
-                exe = _obtain_exe(fn, specs, statics, dbg)
+                exe = _obtain_exe(fn, specs, statics, dbg, skey)
                 with _LOCK:
                     _EXES[key] = exe
             except Exception as e:
@@ -205,6 +311,13 @@ def ahead_call(fn, *args, **statics):
     if not _enabled():
         return fn(*args, **statics)
     try:
+        import jax
+
+        leaves = jax.tree_util.tree_leaves(args)
+        if any(isinstance(x, jax.core.Tracer) for x in leaves):
+            # inside a trace (e.g. an eval_shape over a caller):
+            # executables cannot consume tracers — stay on the jit path
+            return fn(*args, **statics)
         key = spec_key(fn, args, statics)
     except Exception:
         return fn(*args, **statics)
@@ -218,14 +331,21 @@ def ahead_call(fn, *args, **statics):
         try:
             dbg = (getattr(fn, "__name__", repr(fn))
                    if os.environ.get("BELLA_COMPILE_AHEAD_DEBUG") else None)
-            exe = _obtain_exe(fn, _to_specs(args), statics, dbg)
+            try:
+                skey = _stable_key(fn, args, statics)
+            except Exception:
+                skey = None
+            exe = _obtain_exe(fn, _to_specs(args), statics, dbg, skey)
             with _LOCK:
                 _EXES[key] = exe
         except Exception:
             return fn(*args, **statics)
     try:
         return exe(*args)
-    except Exception:
+    except Exception as e:
         # e.g. a donated buffer was already consumed by a failed call;
         # the jit path recompiles but never returns a wrong result
+        if os.environ.get("BELLA_COMPILE_AHEAD_DEBUG"):
+            print(f"[compile-ahead] exe-call FAIL "
+                  f"{getattr(fn, '__name__', repr(fn))} {e!r}", flush=True)
         return fn(*args, **statics)
