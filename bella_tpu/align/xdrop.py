@@ -424,15 +424,25 @@ def _prepare_extensions_packed(reads_w, lens_dev, bh, bv, ph_raw, pv, rc,
 
 
 def _combine_extensions(ext, left, right):
-    """Stacked (5, B) int32 block: one device->host transfer per batch
+    """Stacked (6, B) int32 block: one device->host transfer per batch
     (each separate transfer pays the relay round trip), row order
-    score/beg_h/end_h/beg_v/end_v."""
+    score/beg_h/end_h/beg_v/end_v/drift. Row 5 is the PER-DIRECTION
+    max |t_end - q_end|: band saturation is a per-extension property,
+    and the summed left+right extent difference the host could compute
+    from rows 1-4 over-triggers the band-drift rescue ~an order of
+    magnitude (two half-band drifts in the same direction are fine for
+    each extension but sum past the test)."""
+    drift = jnp.maximum(
+        jnp.abs(left["t_end"] - left["q_end"]),
+        jnp.abs(right["t_end"] - right["q_end"]),
+    )
     return jnp.stack([
         left["score"] + right["score"],
         ext["seed_end_h"] - left["t_end"],
         ext["seed_end_h"] + right["t_end"],
         ext["seed_end_v"] - left["q_end"],
         ext["seed_end_v"] + right["q_end"],
+        drift,
     ])
 
 
@@ -785,6 +795,7 @@ def align_candidates(
     end_h = np.zeros(P, np.int32)
     beg_v = np.zeros(P, np.int32)
     end_v = np.zeros(P, np.int32)
+    sat = np.zeros(P, np.int32)  # per-direction band drift (row 5)
     pallas_band = int(getattr(config, "pallas_band", 256))
     # wavefront step cap: config.max_steps when set, else length-derived
     # (2*Lmax inside the jit)
@@ -856,13 +867,14 @@ def align_candidates(
         pending.append((sel, sel_valid, out))
 
     for sel, sel_valid, out in pending:
-        arr = np.asarray(out)  # (5, batch) int32, one transfer
+        arr = np.asarray(out)  # (6, batch) int32, one transfer
         sel = sel[:sel_valid]
         score[sel] = arr[0, :sel_valid]
         beg_h[sel] = arr[1, :sel_valid]
         end_h[sel] = arr[2, :sel_valid]
         beg_v[sel] = arr[3, :sel_valid]
         end_v[sel] = arr[4, :sel_valid]
+        sat[sel] = arr[5, :sel_valid]
 
     import os as _os
 
@@ -912,8 +924,7 @@ def align_candidates(
         # silent (see pallas_xdrop.py module docstring).
         from bella_tpu.utils.log import log
 
-        drift = np.abs((end_h - beg_h) - (end_v - beg_v))
-        sat_idx = np.nonzero(drift >= pallas_band // 2 - 2)[0]
+        sat_idx = np.nonzero(sat >= pallas_band // 2 - 2)[0]
         if len(sat_idx) and getattr(config, "band_rescue", True):
             rb = 1 << max(6, int(len(sat_idx) - 1).bit_length())
             rb = min(rb, batch_size)
@@ -945,11 +956,8 @@ def align_candidates(
                 end_h[sel] = arr[2, keep]
                 beg_v[sel] = arr[3, keep]
                 end_v[sel] = arr[4, keep]
-            drift2 = np.abs(
-                (end_h[sat_idx] - beg_h[sat_idx])
-                - (end_v[sat_idx] - beg_v[sat_idx])
-            )
-            still = int((drift2 >= pallas_band - 2).sum())
+                sat[sel] = arr[5, keep]
+            still = int((sat[sat_idx] >= pallas_band - 2).sum())
             log("bandDriftRescued",
                 f"{len(sat_idx)} pairs re-extended at band "
                 f"{2 * pallas_band}"

@@ -1,5 +1,9 @@
 """Per-stage profile of the alignment phase on the bench workload:
-where do the seconds go in align_candidates?"""
+where do the seconds go in align_candidates?
+
+  python scripts/align_phase_profile.py [--genome N] [--coverage C]
+"""
+import argparse
 import time
 
 import numpy as np
@@ -11,10 +15,16 @@ from bella_tpu.io.simulate import random_genome, sample_reads
 from bella_tpu.overlap.pairs import detect_overlaps
 from bella_tpu.align import xdrop as xd
 
+ap = argparse.ArgumentParser()
+ap.add_argument("--genome", type=int, default=300_000)
+ap.add_argument("--coverage", type=int, default=25)
+args = ap.parse_args()
+
 cfg = BellaConfig()
-g = random_genome(300_000, seed=0)
-reads, _ = sample_reads(g, 300_000 * 25 // 6000, mean_len=6000,
-                        min_len=1000, error_rate=0.15, seed=1)
+g = random_genome(args.genome, seed=0)
+reads, _ = sample_reads(g, args.genome * args.coverage // 6000,
+                        mean_len=6000, min_len=1000, error_rate=0.15,
+                        seed=1)
 pairs, _, _ = detect_overlaps(reads, cfg)
 print("pairs:", pairs.num_pairs)
 
