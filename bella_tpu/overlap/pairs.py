@@ -606,10 +606,26 @@ def _extract_stream_chunked(reads, kmer_size: int, pack_ridpos: bool,
     )
 
 
-@partial(jax.jit, static_argnames=("kmer_size", "splits", "wide"))
+def _part_shift(kmer_size: int, wide: bool) -> int:
+    """Bit position where the pass tag sits above the live bits of the
+    high key word in _chunk_partition's packed mode: the packed-strand
+    layout (non-wide, see _sort_kmers pack_sc) occupies 2k+1 bits
+    across both words, the wide layout 2k bits."""
+    return max(0, 2 * kmer_size + (1 if not wide else 0) - 32)
+
+
+def _part_packable(kmer_size: int, splits: int, wide: bool) -> bool:
+    """True when `splits` pass tags plus the sentinel tag fit in the
+    free top bits of the high key word (they always do for the k <= 28
+    corpora this path serves, unless splits is astronomically large)."""
+    s = _part_shift(kmer_size, wide)
+    return s < 32 and (splits + 1) < (1 << (32 - s))
+
+
+@partial(jax.jit, static_argnames=("kmer_size", "splits", "wide", "packed"))
 def _chunk_partition(
     codes_bytes, lengths, offsets, n_real, rid_base,
-    kmer_size: int, splits: int, wide: bool = False,
+    kmer_size: int, splits: int, wide: bool = False, packed: bool = False,
 ):
     """Beyond-HBM path, per chunk: phased extraction + k-mer-space
     partition (the reference's --split-count hash partitioning,
@@ -619,7 +635,14 @@ def _chunk_partition(
 
     wide=False: payload streams (khi, klo, ridpos, sc) — 16-bit ids.
     wide=True:  payload streams (khi, klo, rid, possc) — ids to 2^31,
-    positions 16-bit, strand in possc bit 0."""
+    positions 16-bit, strand in possc bit 0.
+
+    packed=True (requires _part_packable): the pass tag rides the free
+    top bits of the high key word, cutting the partition sort — the
+    split path's dominant cost — from 5 operands to 3 (non-wide; the
+    strand bit moves below the k-mer bits as in _sort_kmers pack_sc, so
+    returns (khi2, klo2, ridpos, starts) in the pre-packed layout) or
+    4 (wide: (khi, klo, rid, possc, starts), tag stripped)."""
     from bella_tpu.seq.encode import hash64
 
     u32 = jnp.uint32
@@ -642,6 +665,25 @@ def _chunk_partition(
     canon = (khi.astype(_U64) << _U64(32)) | klo.astype(_U64)
     p = (hash64(canon) % _U64(splits)).astype(u32)
     dead = (khi == u32(0xFFFFFFFF)) & (klo == u32(0xFFFFFFFF))
+    if packed:
+        s = _part_shift(kmer_size, wide)
+        bounds = jnp.arange(splits + 1, dtype=u32) << u32(s)
+        if wide:
+            pk = jnp.where(dead, u32(0xFFFFFFFF), (p << u32(s)) | khi)
+            pk, klo, a, b = jax.lax.sort((pk, klo, a, b), num_keys=1)
+            starts = jnp.searchsorted(pk, bounds)
+            khi = pk & u32((1 << s) - 1) if s else jnp.zeros_like(pk)
+            return khi, klo, a, b, starts
+        # strand below the k-mer bits (the _sort_kmers pack_sc layout,
+        # consumed pre-packed by the region sort / _count_sorted)
+        khi2 = (khi << u32(1)) | (klo >> u32(31))
+        klo2 = jnp.where(dead, u32(0xFFFFFFFF),
+                         (klo << u32(1)) | b.astype(u32))
+        pk = jnp.where(dead, u32(0xFFFFFFFF), (p << u32(s)) | khi2)
+        pk, klo2, a = jax.lax.sort((pk, klo2, a), num_keys=1)
+        starts = jnp.searchsorted(pk, bounds)
+        khi2 = pk & u32((1 << s) - 1) if s else jnp.zeros_like(pk)
+        return khi2, klo2, a, starts
     p = jnp.where(dead, u32(splits), p)
     p, khi, klo, a, b = jax.lax.sort((p, khi, klo, a, b), num_keys=1)
     starts = jnp.searchsorted(p, jnp.arange(splits + 1, dtype=u32))
@@ -685,9 +727,39 @@ def _accum_append(
     )
 
 
-@partial(jax.jit, static_argnames=("pack_ridpos", "pack_sc"))
+@partial(jax.jit, static_argnames=("cap",), donate_argnums=(0, 1, 2))
+def _accum_append3(
+    akhi, aklo, aridpos, khi, klo, ridpos,
+    src_start, n_valid, dst_start, cap: int,
+):
+    """_accum_append for the packed 3-stream layout (non-wide packed
+    partition: strand rides the key words, so no sc stream exists).
+    Same fixed-width read-modify-write contract."""
+    u32 = jnp.uint32
+    sent = jnp.full((cap,), 0xFFFFFFFF, u32)
+    khi = jnp.concatenate([khi, sent])
+    klo = jnp.concatenate([klo, sent])
+    ridpos = jnp.concatenate([ridpos, sent])
+    keep = jax.lax.iota(jnp.int32, cap) < n_valid
+    s = (src_start,)
+    d = (dst_start,)
+
+    def rmw(acc, src, fill_keep):
+        w = jnp.where(keep, jax.lax.dynamic_slice(src, s, (cap,)), fill_keep)
+        old = jax.lax.dynamic_slice(acc, d, (cap,))
+        w = jnp.where(keep, w, old)
+        return jax.lax.dynamic_update_slice(acc, w, d)
+
+    return (
+        rmw(akhi, khi, sent),
+        rmw(aklo, klo, sent),
+        rmw(aridpos, ridpos, jnp.zeros((cap,), u32)),
+    )
+
+
+@partial(jax.jit, static_argnames=("pack_ridpos", "pack_sc", "pre_packed"))
 def _sort_kmers(khi, klo, p1, sc, p2, pack_ridpos: bool = False,
-                pack_sc: bool = False):
+                pack_sc: bool = False, pre_packed: bool = False):
     """Phase 1b: k-mer-major sort (separate program; see _extract_kmers).
 
     pack_sc (requires pack_ridpos and k <= 31, i.e. the high k-mer word
@@ -698,7 +770,14 @@ def _sort_kmers(khi, klo, p1, sc, p2, pack_ridpos: bool = False,
     on this chip). Equal k-mers then order by strand before stream
     order — harmless, because the chain stage re-sorts candidates by
     all three packed fields, so the final seeds are independent of
-    intra-segment emit order."""
+    intra-segment emit order.
+
+    pre_packed (requires pack_sc): khi/klo already arrive in the packed
+    strand-below layout (the packed partition emits it directly), so
+    skip the repack arithmetic and sort as-is."""
+    if pack_sc and pre_packed:
+        khi2, klo2, p1 = jax.lax.sort((khi, klo, p1), num_keys=2)
+        return khi2, klo2, p1, None, None
     if pack_sc:
         u32 = jnp.uint32
         dead = (khi == u32(0xFFFFFFFF)) & (klo == u32(0xFFFFFFFF))
@@ -1730,17 +1809,24 @@ def _detect_overlaps_split(reads, config: BellaConfig, budget: float,
     # at 252 Mbp once the per-pass compacted blocks and the 8-stream
     # extractor scan joined the peak.
     splits = max(int(np.ceil(total * 200 / budget)), 2)
-    # chunk size: the partition sort (5 operands, x2 out-of-place) is
-    # the chunk-resident cost
+    # packed partition: the pass tag rides the key word's free top bits,
+    # cutting the partition sort (the split path's dominant cost) from 5
+    # operands to 3 (non-wide, strand packed too — no sc stream) or 4
+    # (wide). Always true for the k <= 28 corpora this path serves.
+    packed = _part_packable(k, splits, wide)
+    p3 = packed and not wide  # 3-stream accumulator layout
+    # chunk size: the partition sort (x2 out-of-place) is the
+    # chunk-resident cost
     cb = _size_bucket(max(min(int(budget / 240), total), max_len + 8, 1 << 16))
     cb = ((cb + 3) // 4) * 4
     region_cap = _size_bucket(total // splits * 7 // 5 + (1 << 14))
     cap_cp = _size_bucket(cb * 8 // (5 * splits) + 4096)
-    # passes resident at once: the accumulator (13 B/row) may take ~40%
-    # of the budget (count sorts run per region; the resident code
-    # stream and chunk working set take the rest)
+    # passes resident at once: the accumulator (12 B/row packed non-wide,
+    # else 13) may take ~40% of the budget (count sorts run per region;
+    # the resident code stream and chunk working set take the rest)
     group = force_group or int(
-        max(1, min(splits, int(budget * 0.4) // (region_cap * 13)))
+        max(1, min(splits,
+                   int(budget * 0.4) // (region_cap * (12 if p3 else 13))))
     )
     n_groups = (splits + group - 1) // group
     if n_groups > 1:
@@ -1806,16 +1892,23 @@ def _detect_overlaps_split(reads, config: BellaConfig, budget: float,
         akhi = jnp.full((group * region_cap + cap_cp,), sent, u32)
         aklo = jnp.full((group * region_cap + cap_cp,), sent, u32)
         aridpos = jnp.zeros((group * region_cap + cap_cp,), u32)
-        asc = jnp.zeros((group * region_cap + cap_cp,), u32 if wide else bool)
+        asc = (None if p3 else
+               jnp.zeros((group * region_cap + cap_cp,),
+                         u32 if wide else bool))
 
         off = [0] * (g1 - g0)
         for codes_dev, lengths_dev_c, offs_dev, nr_c, lo_c in chunks:
-            khi, klo_a, ridpos, sc, starts = ahead_call(
+            part = ahead_call(
                 _chunk_partition,
                 codes_dev, lengths_dev_c, offs_dev,
                 jnp.int32(nr_c), jnp.int32(lo_c),
-                kmer_size=k, splits=splits, wide=wide,
+                kmer_size=k, splits=splits, wide=wide, packed=packed,
             )
+            if p3:
+                khi, klo_a, ridpos, starts = part
+                sc = None
+            else:
+                khi, klo_a, ridpos, sc, starts = part
             st = np.asarray(starts)
             for pi, p in enumerate(range(g0, g1)):
                 nv = int(st[p + 1] - st[p])
@@ -1830,14 +1923,22 @@ def _detect_overlaps_split(reads, config: BellaConfig, budget: float,
                     nv = room
                 if nv <= 0:
                     continue
-                akhi, aklo, aridpos, asc = ahead_call(
-                    _accum_append,
-                    akhi, aklo, aridpos, asc, khi, klo_a, ridpos, sc,
-                    np.int32(st[p]), np.int32(nv),
-                    np.int32(pi * region_cap + off[pi]), cap=cap_cp,
-                )
+                if p3:
+                    akhi, aklo, aridpos = ahead_call(
+                        _accum_append3,
+                        akhi, aklo, aridpos, khi, klo_a, ridpos,
+                        np.int32(st[p]), np.int32(nv),
+                        np.int32(pi * region_cap + off[pi]), cap=cap_cp,
+                    )
+                else:
+                    akhi, aklo, aridpos, asc = ahead_call(
+                        _accum_append,
+                        akhi, aklo, aridpos, asc, khi, klo_a, ridpos, sc,
+                        np.int32(st[p]), np.int32(nv),
+                        np.int32(pi * region_cap + off[pi]), cap=cap_cp,
+                    )
                 off[pi] += nv
-            del khi, klo_a, ridpos, sc, starts
+            del part, khi, klo_a, ridpos, sc, starts
 
         # per-pass count + reliable compaction + EMISSION. Passes own
         # disjoint k-mer sets, so lag pairing and chain segments never
@@ -1858,12 +1959,15 @@ def _detect_overlaps_split(reads, config: BellaConfig, budget: float,
             sl_hi = sl_lo + fill
             # wide rows carry possc as their own operand (17 bits — no
             # room in the key word), so only the 16-bit layout packs the
-            # strand bit into the sort key (3 operands instead of 4)
+            # strand bit into the sort key (3 operands instead of 4);
+            # the packed partition already emits that layout (p3), so
+            # the region sort skips the repack arithmetic
             khi_p, klo_p, rp_p, sc_p, _ = ahead_call(
                 _sort_kmers,
                 akhi[sl_lo:sl_hi], aklo[sl_lo:sl_hi],
-                aridpos[sl_lo:sl_hi], asc[sl_lo:sl_hi], None,
-                pack_ridpos=True, pack_sc=not wide,
+                aridpos[sl_lo:sl_hi],
+                None if p3 else asc[sl_lo:sl_hi], None,
+                pack_ridpos=True, pack_sc=not wide, pre_packed=p3,
             )
             if wide:
                 (reliable, sr, sp, scw, rank, cnt_p, nnzs_p,
