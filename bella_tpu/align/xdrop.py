@@ -878,7 +878,10 @@ def align_candidates(
 
     import os as _os
 
-    if use_pallas and _os.environ.get("BELLA_ALIGN_CHECK"):
+    if use_pallas and (
+        _os.environ.get("BELLA_ALIGN_CHECK")
+        or getattr(config, "selfcheck", False)
+    ):
         # consistency debug switch (the role of the reference's
         # -D__LIBCUCKOO_SERIAL escape hatch + ASAN config,
         # makefile-nersc:17-23,70): re-run one sampled batch through the

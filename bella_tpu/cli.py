@@ -50,6 +50,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--checkpoint", metavar="NPZ",
                     help="save/resume the reliable-triples phase checkpoint")
     ap.add_argument("--profile", metavar="DIR", help="write a jax.profiler trace")
+    ap.add_argument("--selfcheck", action="store_true",
+                    help="cross-validate device results against host "
+                         "oracles (recount + seed + aligner checks; "
+                         "debug mode, O(corpus) host work)")
     ap.add_argument("--no-prewarm", action="store_true",
                     help="disable background compilation of the aligner "
                          "kernel variants during detection")
@@ -85,6 +89,7 @@ def main(argv=None) -> int:
         checkpoint=args.checkpoint,
         profile_dir=args.profile,
         devices=args.devices,
+        selfcheck=args.selfcheck,
         prewarm=not args.no_prewarm,
     )
     if config.devices > 1:

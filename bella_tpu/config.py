@@ -56,6 +56,12 @@ class BellaConfig:
                                    # background thread during detection
                                    # (cold-start jit overlap; xdrop.py
                                    # prewarm_align_kernels)
+    selfcheck: bool = False        # --selfcheck  cross-validate device
+                                   # results against host numpy oracles
+                                   # (utils/selfcheck.py; the sanitizer/
+                                   # serial-mode role of makefile-nersc:
+                                   # 17-23,70) — debug mode, O(corpus)
+                                   # host work
     devices: int = 0               # --devices  mesh size for distributed
                                    # detection + data-parallel alignment
                                    # (0/1 = single-device pipeline)

@@ -112,6 +112,12 @@ def run_pipeline(
                 f"[{config.lower_freq}, {config.upper_freq}]; reduce k or bounds"
             )
         tri_num_kmers, tri_nnz = num_kmers, nnz
+        if config.selfcheck:
+            from bella_tpu.utils import selfcheck
+
+            with phase("selfCheck"):
+                selfcheck.check_detection(reads, config, num_kmers, nnz)
+                selfcheck.check_pairs(reads, pairs, config)
     else:
         tri = None
         if config.checkpoint:
@@ -157,6 +163,18 @@ def run_pipeline(
                 pairs = generate_candidates(tri, reads.lengths, config)
         log("candidatePairs", pairs.num_pairs)
         tri_num_kmers, tri_nnz = tri.num_kmers, tri.nnz
+        if config.selfcheck:
+            from bella_tpu.utils import selfcheck
+
+            with phase("selfCheck"):
+                if config.checkpoint is None:
+                    # split passes partition by hash but cover every
+                    # k-mer, so global stats still match the recount;
+                    # a resumed checkpoint's source reads may differ
+                    selfcheck.check_detection(
+                        reads, config, tri.num_kmers, tri.nnz
+                    )
+                selfcheck.check_pairs(reads, pairs, config)
 
     aln = None
     num_output = 0
