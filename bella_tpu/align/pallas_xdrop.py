@@ -225,7 +225,12 @@ def _kernel(t_ref, q_ref, tl_ref, ql_ref, score_ref, te_ref, qe_ref,
             # replace; keep the i/j form.
             i = lane if mode == "ramp" else lo.astype(sdt) + lane
             j = d.astype(sdt) - i
-            valid = (i <= t_len_s) & (j >= 0) & (j <= q_len_s)
+            if mode == "steady":
+                # j >= 0 is vacuous here: steady runs at d >= W+1 where
+                # j = d - lo - lane >= (d - W + 1)/2 >= 1 for every lane
+                valid = (i <= t_len_s) & (j <= q_len_s)
+            else:
+                valid = (i <= t_len_s) & (j >= 0) & (j <= q_len_s)
             if use_i16:
                 # int16 needs the lower clamp: gap adds drift dead cells
                 # toward INT16_MIN over >6k steps and would wrap

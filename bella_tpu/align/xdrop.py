@@ -33,7 +33,7 @@ from __future__ import annotations
 import dataclasses
 import sys
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -282,6 +282,38 @@ def pack_words(mat: np.ndarray) -> np.ndarray:
             np.uint32(1) << (8 * np.arange(4, dtype=np.uint32))
         )
     return c.view(np.uint32)
+
+
+def pack_words_ragged(reads):
+    """Host: ReadSet -> (flat_words, word_offsets) WITHOUT materializing
+    the (R, Lmax) padded char matrix. pad_reads + pack_words cost
+    multiple full passes over R*Lmax bytes (~5x the corpus size at
+    long-read length spreads); on slow-memory hosts that dominates the
+    alignment phase at corpus scale. Here each read's codes are copied
+    once into a 16-padded byte stream (per-read memcpy of the corpus's
+    own bytes), then bit-packed by pack_words' pairwise-combine trick.
+    Tail fill is 0 ('A'); every consumer masks by lengths (the
+    pack_words contract)."""
+    lens = reads.lengths.astype(np.int64)
+    nw = -(-lens // 16)
+    off_w = np.zeros(len(lens) + 1, np.int64)
+    np.cumsum(nw, out=off_w[1:])
+    buf = np.zeros(int(off_w[-1]) * 16, np.uint8)
+    src = reads.codes
+    soff = reads.offsets
+    for r in range(len(lens)):
+        d = int(off_w[r]) * 16
+        n = int(lens[r])
+        buf[d:d + n] = src[int(soff[r]):int(soff[r]) + n]
+    c = buf[0::2] | (buf[1::2] << 2)
+    c = np.ascontiguousarray(c[0::2] | (c[1::2] << 4))
+    if sys.byteorder != "little":  # pragma: no cover
+        flat = c.reshape(-1, 4).astype(np.uint32) @ (
+            np.uint32(1) << (8 * np.arange(4, dtype=np.uint32))
+        )
+    else:
+        flat = c.view(np.uint32)
+    return flat, off_w[:-1].astype(np.int32)
 
 
 @partial(jax.jit, static_argnames=("R", "Wp"))
@@ -685,16 +717,22 @@ def _sync_prewarm(key) -> None:
 
 
 def align_candidates(
-    reads_padded: np.ndarray,
+    reads_padded: Optional[np.ndarray],
     read_lengths: np.ndarray,
     pairs,
     config,
     batch_size: int = 0,
     mesh=None,
+    reads=None,
 ) -> AlignmentResult:
     """Align all candidate pairs (host driver, batches on device).
 
-    reads_padded: (R, Lmax) int8 2-bit codes, PAD elsewhere
+    reads_padded: (R, Lmax) int8 2-bit codes, PAD elsewhere — or None
+    when `reads` (the ReadSet) is given: the Pallas path then packs the
+    ragged word stream straight from the concatenated codes
+    (pack_words_ragged), skipping the (R, Lmax) padded matrix whose
+    construction dominates the phase on slow-memory hosts; other
+    backends pad on demand.
     pairs: CandidatePairs (seed per pair). Strand handling follows
     xavierAlign (include/align.hpp:152-202): if the seed's forward
     strings disagree (seed_rc), the H read is reverse-complemented and
@@ -717,7 +755,14 @@ def align_candidates(
         batch_size = config.align_batch
     ndev = int(mesh.devices.size) if mesh is not None else 1
     batch_size = _batch_bucket(P, batch_size, ndev)
-    R, Lmax = reads_padded.shape
+    read_lengths = np.asarray(read_lengths)
+    if reads_padded is not None:
+        R, Lmax = reads_padded.shape
+    else:
+        # pad_reads geometry without the matrix (bucket must match so
+        # prewarm signatures and compiled tier shapes stay identical)
+        R = len(read_lengths)
+        Lmax = int(-(-int(read_lengths.max()) // 512) * 512)
     k = config.kmer_size
 
     # backend: the Pallas kernel is the compiled TPU path; the pure-JAX
@@ -742,16 +787,20 @@ def align_candidates(
     # (_expand_words) — another 3-4x off the transfer. The jax oracle
     # keeps the char matrix.
     if use_pallas and mesh is None:
-        words_full = pack_words(reads_padded)
-        nw = -(-read_lengths.astype(np.int64) // 16)
-        mask_w = np.arange(words_full.shape[1])[None, :] < nw[:, None]
-        flat_w = words_full[mask_w]
-        off_w = np.concatenate(
-            [[0], np.cumsum(nw[:-1])]
-        ).astype(np.int32) if len(nw) else np.zeros(0, np.int32)
+        if reads is not None:
+            # ragged stream straight from the ReadSet (no padded matrix)
+            flat_w, off_w = pack_words_ragged(reads)
+        else:
+            words_full = pack_words(reads_padded)
+            nw = -(-read_lengths.astype(np.int64) // 16)
+            mask_w = np.arange(words_full.shape[1])[None, :] < nw[:, None]
+            flat_w = words_full[mask_w]
+            off_w = np.concatenate(
+                [[0], np.cumsum(nw[:-1])]
+            ).astype(np.int32) if len(nw) else np.zeros(0, np.int32)
         reads_dev = _expand_words(
             jnp.asarray(flat_w), jnp.asarray(off_w),
-            R=words_full.shape[0], Wp=words_full.shape[1],
+            R=R, Wp=Lmax // 16,
         )
         lens_dev = jnp.asarray(read_lengths.astype(np.int32))
 
@@ -761,6 +810,8 @@ def align_candidates(
         _put_blk = _put
         reads_host = None
     else:
+        if reads_padded is None:
+            reads_padded, _ = pad_reads(reads)
         reads_host = pack_words(reads_padded) if use_pallas else reads_padded
     if reads_host is None:
         pass
@@ -893,6 +944,8 @@ def align_candidates(
         pad = batch_size - len(sel)
         selp = np.concatenate([sel, np.zeros(pad, sel.dtype)]) if pad else sel
         validp = np.arange(batch_size) < len(sel)
+        if reads_padded is None:  # ragged fast path: pad for the oracle
+            reads_padded, _ = pad_reads(reads)
         ref = np.asarray(_seed_extend_batch(
             jnp.asarray(reads_padded), lens_dev,
             jnp.asarray(pairs.read_h[selp]), jnp.asarray(pairs.read_v[selp]),

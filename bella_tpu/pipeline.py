@@ -11,7 +11,7 @@ from typing import List, Optional
 
 import numpy as np
 
-from bella_tpu.align.xdrop import align_candidates, pad_reads
+from bella_tpu.align.xdrop import align_candidates
 from bella_tpu.config import BellaConfig
 from bella_tpu.io import writers
 from bella_tpu.io.fastq import ReadSet, read_files
@@ -191,8 +191,12 @@ def run_pipeline(
 
         t_aln = _time.perf_counter()
         with phase("alignment"):
-            padded, lens = pad_reads(reads)
-            aln = align_candidates(padded, lens, pairs, config, mesh=mesh)
+            # the Pallas path packs the ragged word stream straight from
+            # the ReadSet; other backends pad internally on demand
+            aln = align_candidates(
+                None, reads.lengths.astype(np.int32), pairs, config,
+                mesh=mesh, reads=reads,
+            )
         dt_aln = _time.perf_counter() - t_aln
         if pairs.num_pairs and dt_aln > 0:
             # reference logs the alignment rate in bases/s (overlap.hpp:757-767)

@@ -92,13 +92,13 @@ def main():
     )
 
     if os.environ.get("BELLA_BENCH_ALIGN"):
-        from bella_tpu.align.xdrop import align_candidates, pad_reads
+        from bella_tpu.align.xdrop import align_candidates
         from bella_tpu.overlap.decision import post_align_decision
 
-        padded, lens = pad_reads(reads)
+        lens = reads.lengths.astype(np.int32)
 
         def run_align():
-            aln = align_candidates(padded, lens, pairs, cfg)
+            aln = align_candidates(None, lens, pairs, cfg, reads=reads)
             dec = post_align_decision(
                 aln, pairs.read_h, pairs.read_v, reads.lengths, cfg
             )

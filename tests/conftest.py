@@ -21,3 +21,10 @@ if not _WANT_TPU:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    # JAX's persistent compilation cache (enabled in bella_tpu/__init__
+    # for the minutes-long TPU compiles) sporadically SEGFAULTS on this
+    # CPU backend mid-suite while deserializing an entry
+    # (compilation_cache.get_executable_and_time, exit 139) — only with
+    # full-suite state, never in isolation. CPU compiles are seconds, so
+    # the cache buys nothing here: disable it for tests.
+    jax.config.update("jax_enable_compilation_cache", False)

@@ -170,6 +170,30 @@ def test_align_candidates_pallas_backend():
     assert int(a_pal.score[0]) == 200
 
 
+def test_ragged_words_match_padded():
+    """The ragged fast path (reads= kwarg: pack_words_ragged, no padded
+    matrix) must yield identical alignments to the padded-matrix path."""
+    from bella_tpu.io.simulate import random_genome, sample_reads
+
+    g = random_genome(6000, seed=51)
+    rs, _ = sample_reads(
+        g, 24, mean_len=900, min_len=400, error_rate=0.12, seed=52,
+        circular=False,
+    )
+    from bella_tpu.overlap.pairs import detect_overlaps
+
+    cfg = BellaConfig(aligner_backend="pallas")
+    pairs, _, _ = detect_overlaps(rs, cfg)
+    assert pairs.num_pairs > 0
+    padded, lens = pad_reads(rs)
+    a_pad = align_candidates(padded, lens, pairs, cfg)
+    a_rag = align_candidates(None, lens, pairs, cfg, reads=rs)
+    for f in ("score", "beg_h", "end_h", "beg_v", "end_v"):
+        np.testing.assert_array_equal(
+            getattr(a_pad, f), getattr(a_rag, f), err_msg=f
+        )
+
+
 def test_band_drift_beyond_w2_documented():
     """Pathological indel drift: a 200-base insertion shifts the optimal
     path > W/2 = 64 lanes off-center (band 128). The static centered
