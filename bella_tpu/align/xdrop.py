@@ -917,6 +917,19 @@ def align_candidates(
             )
         pending.append((sel, sel_valid, out))
 
+    if mesh is None and len(pending) > 1:
+        # ONE stacked readback for every batch: each separate (6, B)
+        # transfer pays the relay's fixed ~tens-of-ms round trip, so N
+        # batches cost N round trips serialized; the device-side concat
+        # is negligible and the single big transfer rides the relay's
+        # fast large-block rate
+        stacked = np.asarray(
+            jnp.concatenate([o for _, _, o in pending], axis=1)
+        )
+        pending = [
+            (sel, sv, stacked[:, i * batch_size:(i + 1) * batch_size])
+            for i, (sel, sv, _o) in enumerate(pending)
+        ]
     for sel, sel_valid, out in pending:
         arr = np.asarray(out)  # (6, batch) int32, one transfer
         sel = sel[:sel_valid]

@@ -194,6 +194,29 @@ def test_ragged_words_match_padded():
         )
 
 
+def test_stacked_readback_multibatch():
+    """Many small batches (stacked single-transfer readback) must equal
+    the single-batch result."""
+    from bella_tpu.io.simulate import random_genome, sample_reads
+    from bella_tpu.overlap.pairs import detect_overlaps
+
+    g = random_genome(6000, seed=53)
+    rs, _ = sample_reads(
+        g, 30, mean_len=900, min_len=400, error_rate=0.12, seed=54,
+        circular=False,
+    )
+    cfg = BellaConfig(aligner_backend="pallas")
+    pairs, _, _ = detect_overlaps(rs, cfg)
+    assert pairs.num_pairs > 64
+    padded, lens = pad_reads(rs)
+    one = align_candidates(padded, lens, pairs, cfg)
+    many = align_candidates(padded, lens, pairs, cfg, batch_size=32)
+    for f in ("score", "beg_h", "end_h", "beg_v", "end_v"):
+        np.testing.assert_array_equal(
+            getattr(one, f), getattr(many, f), err_msg=f
+        )
+
+
 def test_band_drift_beyond_w2_documented():
     """Pathological indel drift: a 200-base insertion shifts the optimal
     path > W/2 = 64 lanes off-center (band 128). The static centered
@@ -256,6 +279,37 @@ def test_align_check_switch(monkeypatch):
 
 
 def test_band_rescue_recovers_drift():
+    """Band-rescue correctness, isolated in a FRESH SUBPROCESS: XLA's
+    CPU backend_compile_and_load segfaults (exit 139) compiling this
+    test's W=512 interpret-mode kernel ONLY after ~100 prior suite
+    tests' compiles — reproduced with the persistent compilation cache
+    disabled AND a 512 MB stack, never in isolation. An upstream
+    compiler-state bug, so the deterministic fix is process isolation."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        PYTHONPATH=os.pathsep.join(
+            [os.path.dirname(__file__),
+             os.path.dirname(os.path.dirname(os.path.abspath(__file__)))]
+        ),
+    )
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms', 'cpu'); "
+         "from test_pallas_align import _band_rescue_body; "
+         "_band_rescue_body(); print('RESCUE_OK')"],
+        env=env, capture_output=True, text=True, timeout=580,
+    )
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+    assert "RESCUE_OK" in r.stdout
+
+
+def _band_rescue_body():
     """A pair whose optimal path drifts ~400 lanes off-center saturates
     the static 256 band (offset from band start = d/18 + 128 crosses
     255 at d ~ 2300 of 3600); the band-rescue pass (one 2x-band
