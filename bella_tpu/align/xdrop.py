@@ -995,41 +995,53 @@ def align_candidates(
 
         sat_idx = np.nonzero(sat >= pallas_band // 2 - 2)[0]
         if len(sat_idx) and getattr(config, "band_rescue", True):
-            rb = 1 << max(6, int(len(sat_idx) - 1).bit_length())
-            rb = min(rb, batch_size)
-            for s in range(0, len(sat_idx), rb):
-                sel = sat_idx[s : s + rb]
-                nv = len(sel)
-                selp = (np.concatenate([sel, np.zeros(rb - nv, sel.dtype)])
-                        if nv < rb else sel)
-                validp = np.arange(rb) < nv
-                seq_len = int(tier[selp[:nv]].max())
-                blk = _put_blk(_pair_block(pairs, selp, validp))
-                out = ahead_call(
-                    _seed_extend_batch_pallas,
-                    reads_dev, lens_dev, blk,
-                    xdrop=int(config.xdrop), kmer_size=k,
-                    band=2 * pallas_band, interpret=interpret,
-                    max_steps=max_steps, seq_len=seq_len,
-                )
-                arr = np.asarray(out)
-                sel = selp[:nv]
-                # keep whichever extension scored higher: x-drop is not
-                # monotone in band width (a wider band can surface an
-                # off-trajectory early max that kills the true path)
-                better = arr[0, :nv] >= score[sel]
-                sel = sel[better]
-                keep = np.nonzero(better)[0]
-                score[sel] = arr[0, keep]
-                beg_h[sel] = arr[1, keep]
-                end_h[sel] = arr[2, keep]
-                beg_v[sel] = arr[3, keep]
-                end_v[sel] = arr[4, keep]
-                sat[sel] = arr[5, keep]
-            still = int((sat[sat_idx] >= pallas_band - 2).sum())
+            # cascade: re-extend drifted pairs at 2x band, then pairs
+            # still saturated at 4x, up to the rescue ceiling (>= 512 so
+            # a narrow default band keeps the wide-band accuracy; each
+            # level is one extra kernel variant, compiled once ever via
+            # the executable cache)
+            ceiling = max(512, 2 * pallas_band)
+            rescue_band = 2 * pallas_band
+            total_rescued = len(sat_idx)
+            while len(sat_idx) and rescue_band <= ceiling:
+                rb = 1 << max(6, int(len(sat_idx) - 1).bit_length())
+                rb = min(rb, batch_size)
+                for s in range(0, len(sat_idx), rb):
+                    sel = sat_idx[s : s + rb]
+                    nv = len(sel)
+                    selp = (np.concatenate([sel, np.zeros(rb - nv, sel.dtype)])
+                            if nv < rb else sel)
+                    validp = np.arange(rb) < nv
+                    seq_len = int(tier[selp[:nv]].max())
+                    blk = _put_blk(_pair_block(pairs, selp, validp))
+                    out = ahead_call(
+                        _seed_extend_batch_pallas,
+                        reads_dev, lens_dev, blk,
+                        xdrop=int(config.xdrop), kmer_size=k,
+                        band=rescue_band, interpret=interpret,
+                        max_steps=max_steps, seq_len=seq_len,
+                    )
+                    arr = np.asarray(out)
+                    sel = selp[:nv]
+                    # keep whichever extension scored higher: x-drop is
+                    # not monotone in band width (a wider band can
+                    # surface an off-trajectory early max that kills the
+                    # true path)
+                    better = arr[0, :nv] >= score[sel]
+                    sel = sel[better]
+                    keep = np.nonzero(better)[0]
+                    score[sel] = arr[0, keep]
+                    beg_h[sel] = arr[1, keep]
+                    end_h[sel] = arr[2, keep]
+                    beg_v[sel] = arr[3, keep]
+                    end_v[sel] = arr[4, keep]
+                    sat[sel] = arr[5, keep]
+                sat_idx = sat_idx[sat[sat_idx] >= rescue_band // 2 - 2]
+                rescue_band *= 2
+            still = len(sat_idx)
             log("bandDriftRescued",
-                f"{len(sat_idx)} pairs re-extended at band "
-                f"{2 * pallas_band}"
+                f"{total_rescued} pairs re-extended (band cascade up to "
+                f"{rescue_band // 2})"
                 + (f"; {still} still saturated (use --band-width or the "
                    "jax backend)" if still else ""))
         elif len(sat_idx):

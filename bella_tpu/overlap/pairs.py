@@ -92,6 +92,16 @@ class CandidatePairs:
               for f in dataclasses.fields(CandidatePairs))
         )
 
+    def take_prefix(self, n: int) -> "CandidatePairs":
+        """First n rows (the speculative-size path over-fetches the seed
+        block and trims to the verified count on host)."""
+        if n >= self.num_pairs:
+            return self
+        return CandidatePairs(
+            *(getattr(self, f.name)[:n]
+              for f in dataclasses.fields(CandidatePairs))
+        )
+
 
 def _emit_slices(kmer_ids, read_ids, positions, is_rc, upper_freq: int):
     """EMIT stage: U-1 shifted slices over k-mer segments."""
@@ -1189,7 +1199,7 @@ def _chain_sort_packed(hv, k3, pv):
 
 def _chain_packed(
     hv, k3, pv, read_lengths, kmer_size: int, bin_size: int,
-    live_rows=None, lengths_np=None,
+    live_rows=None, lengths_np=None, hint=None, hint_out=None,
 ):
     """Packed sort + fused chain+compact (see _fused_emit_packed):
     returns CandidatePairs directly.
@@ -1208,11 +1218,15 @@ def _chain_packed(
         live_rows = live_rows()
     if live_rows is not None:
         lim = min(_size_bucket(max(int(live_rows), 1 << 10)), hv.shape[0])
+        if hint_out is not None:
+            hint_out["lim"] = lim
         if lim < hv.shape[0]:
             hv, k3, pv = hv[:lim], k3[:lim], pv[:lim]
+    elif hint_out is not None:
+        hint_out["lim"] = int(hv.shape[0])
     return _finish_chain(
         (hv, k3, pv), read_lengths, lengths_np, kmer_size, bin_size,
-        wide=False,
+        wide=False, hint=hint, hint_out=hint_out,
     )
 
 
@@ -1494,7 +1508,7 @@ def _chain_sort_wide(h, v, k3, pv):
 
 
 def _chain_wide(h, v, k3, pv, read_lengths, kmer_size: int, bin_size: int,
-                live_rows=None, lengths_np=None):
+                live_rows=None, lengths_np=None, hint=None, hint_out=None):
     """Wide-id sort + fused chain+compact (live-prefix trimming as in
     _chain_packed): returns CandidatePairs directly."""
     from bella_tpu.utils.compile_ahead import ahead_call
@@ -1504,11 +1518,15 @@ def _chain_wide(h, v, k3, pv, read_lengths, kmer_size: int, bin_size: int,
         live_rows = live_rows()
     if live_rows is not None:
         lim = min(_size_bucket(max(int(live_rows), 1 << 10)), h.shape[0])
+        if hint_out is not None:
+            hint_out["lim"] = lim
         if lim < h.shape[0]:
             h, v, k3, pv = h[:lim], v[:lim], k3[:lim], pv[:lim]
+    elif hint_out is not None:
+        hint_out["lim"] = int(h.shape[0])
     return _finish_chain(
         (h, v, k3, pv), read_lengths, lengths_np, kmer_size, bin_size,
-        wide=True,
+        wide=True, hint=hint, hint_out=hint_out,
     )
 
 
@@ -1629,20 +1647,43 @@ def _sort_carry(key, cols):
 
 
 @partial(jax.jit, static_argnames=("size",))
-def _gather_block(skey, cols, size: int):
+def _gather_block(skey, cols, size: int, stats=None):
     """Phase C: gather the packed columns at the first `size` seed rows
-    and stack to ONE (F, size) readback block."""
+    and stack to ONE (F, size) readback block. With `stats` (a short
+    int32 vector of deferred size counters on the speculative-size
+    path), one extra row carries it home inside the same transfer —
+    a separate scalar readback would pay its own relay round trip."""
     u32 = jnp.uint32
     idx = (skey[:size] & u32(0x7FFFFFFF)).astype(jnp.int32)
-    return jnp.stack(
-        [jnp.take(c, idx, axis=0).astype(jnp.int32) for c in cols]
-    )
+    rows = [jnp.take(c, idx, axis=0).astype(jnp.int32) for c in cols]
+    if stats is not None:
+        rows.append(_pad_stats_row(stats, size))
+    return jnp.stack(rows)
+
+
+def _pad_stats_row(stats, size: int):
+    s = stats.astype(jnp.int32)[:size]
+    return jnp.concatenate(
+        [s, jnp.zeros((size - s.shape[0],), jnp.int32)]
+    ) if s.shape[0] < size else s
 
 
 @partial(jax.jit, static_argnames=("size",))
-def _slice_block(sorted_cols, size: int):
+def _slice_block(sorted_cols, size: int, stats=None):
     """Phase C (carry variant): slice the seed prefix and stack."""
-    return jnp.stack([c[:size].astype(jnp.int32) for c in sorted_cols])
+    rows = [c[:size].astype(jnp.int32) for c in sorted_cols]
+    if stats is not None:
+        rows.append(_pad_stats_row(stats, size))
+    return jnp.stack(rows)
+
+
+@jax.jit
+def _stack_stats(*arrs):
+    """Concatenate deferred size counters (1-D arrays / scalars) into
+    one int32 vector so they ride a single transfer."""
+    return jnp.concatenate(
+        [jnp.atleast_1d(a).astype(jnp.int32) for a in arrs]
+    )
 
 
 def _unpack_pairs(arr, lengths_np, kmer_size: int, wide: bool
@@ -1681,26 +1722,37 @@ def _unpack_pairs(arr, lengths_np, kmer_size: int, wide: bool
 
 
 def _finish_chain(ops, read_lengths, lengths_np, kmer_size: int,
-                  bin_size: int, wide: bool) -> CandidatePairs:
+                  bin_size: int, wide: bool, hint=None,
+                  hint_out=None) -> CandidatePairs:
     """Host driver for the fused finish: phase A (scans+pack) emits the
     seed count; phase B (the seed-ordering sort) is dispatched BEFORE
     the count's relay round trip blocks, so the two overlap; phase C
-    then moves exactly the pair bucket over the relay."""
+    then moves exactly the pair bucket over the relay.
+
+    hint (speculative-size path, see detect_overlaps): dict with
+    "nseed" (the previous run's seed count — used for the phase-C
+    bucket WITHOUT blocking on this run's count) and "stats_pre"
+    (deferred upstream counters); the true counters ride home as an
+    extra row of the phase-C block and land in hint_out["stats"] as
+    [*stats_pre..., nseed] for the caller to verify. Shapes only —
+    every device value is exact; a wrong hint is detected and redone
+    by the caller."""
     n = int(ops[0].shape[0])
     from bella_tpu.utils.compile_ahead import ahead_call, compile_ahead
 
-    try:  # wave C: the live-count readback fixed the finish shapes
-        fs = jax.eval_shape(
-            partial(_chain_finish, kmer_size=kmer_size, bin_size=bin_size,
-                    wide=wide),
-            ops, read_lengths,
-        )
-        if n > (1 << 23):
-            compile_ahead(_sort_carry, fs[1], fs[0])
-        else:
-            compile_ahead(_sort_seedkey, fs[1])
-    except Exception:
-        pass
+    if hint is None:
+        try:  # wave C: the live-count readback fixed the finish shapes
+            fs = jax.eval_shape(
+                partial(_chain_finish, kmer_size=kmer_size,
+                        bin_size=bin_size, wide=wide),
+                ops, read_lengths,
+            )
+            if n > (1 << 23):
+                compile_ahead(_sort_carry, fs[1], fs[0])
+            else:
+                compile_ahead(_sort_seedkey, fs[1])
+        except Exception:
+            pass
     cols, key, nseed = ahead_call(
         _chain_finish, ops, read_lengths,
         kmer_size=kmer_size, bin_size=bin_size, wide=wide,
@@ -1711,14 +1763,28 @@ def _finish_chain(ops, read_lengths, lengths_np, kmer_size: int,
         sorted_cols = ahead_call(_sort_carry, key, cols)
     else:
         skey = ahead_call(_sort_seedkey, key)
-    num = int(nseed)  # round trip overlaps the phase-B sort
-    if num == 0:
-        return CandidatePairs.empty()
+    stats = None
+    if hint is not None:
+        stats = ahead_call(_stack_stats, *hint["stats_pre"], nseed)
+        num = int(hint["nseed"])
+        if num == 0:
+            hint_out["stats"] = np.asarray(stats)
+            return CandidatePairs.empty()
+    else:
+        num = int(nseed)  # round trip overlaps the phase-B sort
+        if hint_out is not None:
+            hint_out["nseed"] = num
+        if num == 0:
+            return CandidatePairs.empty()
     size = min(1 << max(10, (num - 1).bit_length()), n)
     if carry:
-        arr = np.asarray(_slice_block(sorted_cols, size))[:, :num]
+        arr = np.asarray(_slice_block(sorted_cols, size, stats))
     else:
-        arr = np.asarray(_gather_block(skey, cols, size))[:, :num]
+        arr = np.asarray(_gather_block(skey, cols, size, stats))
+    if stats is not None:
+        hint_out["stats"] = arr[-1]
+        arr = arr[:-1]
+    arr = arr[:, :num]
     if lengths_np is None:
         lengths_np = np.asarray(read_lengths)
     return _unpack_pairs(arr, lengths_np, kmer_size, wide=wide)
@@ -1752,6 +1818,110 @@ def _chain_stage32(h, v, bin_id, pos_h, pos_v, flip, ov, kmer_size: int):
         count=count, matches=support, overlap_est=ov,
         seed_rc=flip,
     )
+
+
+# speculative-size cache: the packed detect path's only host blocking is
+# 3 size readbacks (nnz / live candidates / seeds), each a ~27 ms relay
+# round trip that serializes the dispatch stream. Sizes only pick static
+# SHAPE buckets — device values stay exact — so a repeat run on the same
+# corpus dispatches every stage immediately with the previous run's
+# sizes and verifies the true counters (one extra row of the final
+# transfer) at the end; any size that proved too small triggers one
+# non-speculative redo. Keyed by a corpus/config fingerprint; a
+# collision costs a redo, never a wrong result.
+_SIZE_HINTS: dict = {}
+
+
+def _hints_key(reads, config):
+    lens = reads.lengths
+    step = max(1, len(lens) // 64)
+    return (
+        reads.num_reads, len(reads.codes),
+        int(lens[::step].astype(np.int64).sum()),
+        config.kmer_size, config.lower_freq, config.upper_freq,
+        config.bin_size, config.use_hopc,
+    )
+
+
+def _hints_load(hkey):
+    """In-memory first, then the on-disk store (a process re-running the
+    same corpus skips the size readbacks on its FIRST detect too).
+    BELLA_NO_SIZE_HINTS=1 forces the exact blocking-readback flow."""
+    import os as _os
+
+    if _os.environ.get("BELLA_NO_SIZE_HINTS"):
+        return None
+    h = _SIZE_HINTS.get(hkey)
+    if h is not None:
+        return h
+    try:
+        import hashlib
+        import json
+        import os
+
+        from bella_tpu.utils.compile_ahead import _xc_dir
+
+        p = os.path.join(
+            _xc_dir(), "hints",
+            hashlib.sha1(repr(hkey).encode()).hexdigest()[:20] + ".json",
+        )
+        with open(p) as f:
+            d = json.load(f)
+        return dict(
+            narr=np.asarray(d["narr"], np.int64),
+            n_cand=int(d["n_cand"]), nseed=int(d["nseed"]),
+        )
+    except Exception:
+        return None
+
+
+def _hints_store(hkey, narr, n_cand: int, nseed: int) -> None:
+    rec = dict(
+        narr=np.asarray(narr).copy(), n_cand=int(n_cand), nseed=int(nseed)
+    )
+    _SIZE_HINTS[hkey] = rec
+    try:
+        import hashlib
+        import json
+        import os
+
+        from bella_tpu.utils.compile_ahead import _xc_dir
+
+        d = os.path.join(_xc_dir(), "hints")
+        os.makedirs(d, exist_ok=True)
+        p = os.path.join(
+            d, hashlib.sha1(repr(hkey).encode()).hexdigest()[:20] + ".json"
+        )
+        tmp = p + f".tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(dict(
+                narr=[int(x) for x in np.asarray(narr)],
+                n_cand=int(n_cand), nseed=int(nseed),
+            ), f)
+        os.replace(tmp, p)
+    except Exception:
+        pass
+
+
+def _verify_hints(hkey, hints, hint_out, nnzs_len: int, size: int,
+                  lag_sizes, upper: int):
+    """Check a hinted run's true counters against the buckets it used.
+    Returns (ok, n_act, nseed_act); always stores the fresh counters."""
+    sarr = hint_out["stats"]
+    narr_act = sarr[:nnzs_len]
+    ncand_act = int(sarr[nnzs_len])
+    nseed_act = int(sarr[nnzs_len + 1])
+    n_act = int(narr_act[0])
+    ok = n_act <= size and ncand_act <= int(hint_out.get("lim", 0))
+    if ok:
+        for d in range(1, upper):
+            a = int(narr_act[min(d, nnzs_len - 1)])
+            if lag_sizes[d - 1] < min(a, size):
+                ok = False
+                break
+    ok = ok and nseed_act <= int(hints["nseed"])
+    _hints_store(hkey, narr_act, ncand_act, nseed_act)
+    return ok, n_act, nseed_act
 
 
 def _size_bucket(n: int) -> int:
@@ -2066,12 +2236,16 @@ def _detect_overlaps_split(reads, config: BellaConfig, budget: float,
     return pairs, num_kmers, nnz_total
 
 
-def detect_overlaps(reads, config: BellaConfig):
+def detect_overlaps(reads, config: BellaConfig, _use_hints: bool = True):
     """Fused (4-dispatch) end-to-end overlap detection for the common
     configuration (plain k-mers or HOPC, single split). Intermediates
     never leave the device; split into separate medium jits because one
     monolithic program stalls the TPU toolchain's compiler at large
-    shapes. Returns (CandidatePairs, num_kmers, nnz)."""
+    shapes. Returns (CandidatePairs, num_kmers, nnz).
+
+    _use_hints: repeat runs on the same corpus/config dispatch with the
+    previous run's size buckets and verify at the end (see _SIZE_HINTS);
+    set False to force the exact blocking-readback flow."""
     k = config.kmer_size
     m = len(reads.codes) - k + 1
     if m <= 0:
@@ -2192,9 +2366,14 @@ def detect_overlaps(reads, config: BellaConfig):
 
         comp = ahead_call(_compact_sort_wide, reliable, sr, sp, sc, rank, cnt)
         del reliable, sr, sp, sc, rank, cnt
-        narr = np.asarray(nnzs)
+        hkey = _hints_key(reads, config)
+        hints = _hints_load(hkey) if _use_hints else None
+        if hints is not None:
+            narr = hints["narr"]
+        else:
+            narr = np.asarray(nnzs)
         n = int(narr[0])
-        if n == 0:
+        if n == 0 and hints is None:
             return CandidatePairs.empty(), int(num_kmers), 0
         lengths_dev = jnp.asarray(reads.lengths.astype(np.int32))
         size = min(_size_bucket(max(n, 1 << 14)), int(comp[0].shape[0]))
@@ -2203,18 +2382,22 @@ def detect_overlaps(reads, config: BellaConfig):
             kmer_size=k, upper=config.upper_freq, bin_size=config.bin_size,
             lag_sizes=tuple(lag_sizes),
         )
-        try:  # wave B (see the packed branch below)
-            n0 = jax.ShapeDtypeStruct((), jnp.int32)
-            cs = jax.eval_shape(
-                partial(_compact_slice_wide, size=size), *comp
-            )
-            compile_ahead(_fused_emit_wide, n0, *cs, lengths_dev, **emit_kw)
-            ems = jax.eval_shape(
-                partial(_fused_emit_wide, **emit_kw), n0, *cs, lengths_dev
-            )
-            compile_ahead(_chain_sort_wide, *ems[:4])
-        except Exception:
-            pass
+        if hints is None:
+            try:  # wave B (see the packed branch below)
+                n0 = jax.ShapeDtypeStruct((), jnp.int32)
+                cs = jax.eval_shape(
+                    partial(_compact_slice_wide, size=size), *comp
+                )
+                compile_ahead(
+                    _fused_emit_wide, n0, *cs, lengths_dev, **emit_kw
+                )
+                ems = jax.eval_shape(
+                    partial(_fused_emit_wide, **emit_kw), n0, *cs,
+                    lengths_dev,
+                )
+                compile_ahead(_chain_sort_wide, *ems[:4])
+            except Exception:
+                pass
         csr, csp, csc, crank = ahead_call(
             _compact_slice_wide, *comp, size=size
         )
@@ -2223,12 +2406,39 @@ def detect_overlaps(reads, config: BellaConfig):
             _fused_emit_wide, nnzs[0].astype(jnp.int32),
             csr, csp, csc, crank, lengths_dev, **emit_kw,
         )
+        hint_out: dict = {}
+        if hints is not None:
+            finish_hint = dict(
+                nseed=int(hints["nseed"]), stats_pre=(nnzs, _n_cand)
+            )
+            live_rows = int(hints["n_cand"])
+        else:
+            finish_hint = None
+            nc_memo: dict = {}
+
+            def live_rows():
+                nc_memo["v"] = int(_n_cand)
+                return nc_memo["v"]
         pairs = _chain_wide(
             h, v, k3, pv, lengths_dev, kmer_size=k,
-            bin_size=config.bin_size, live_rows=lambda: int(_n_cand),
-            lengths_np=reads.lengths,
+            bin_size=config.bin_size, live_rows=live_rows,
+            lengths_np=reads.lengths, hint=finish_hint, hint_out=hint_out,
         )
         del h, v, k3, pv, csr, csp, csc, crank
+        if hints is not None:
+            ok, n_act, nseed_act = _verify_hints(
+                hkey, hints, hint_out, int(nnzs.shape[0]), size,
+                lag_sizes, config.upper_freq,
+            )
+            if not ok:
+                log("sizeHintsMiss",
+                    "speculative sizes underestimated; re-running exact")
+                return detect_overlaps(reads, config, _use_hints=False)
+            return pairs.take_prefix(nseed_act), int(num_kmers), n_act
+        _hints_store(
+            hkey, narr, nc_memo.get("v", 0),
+            int(hint_out.get("nseed", pairs.num_pairs)),
+        )
         return pairs, int(num_kmers), n
     if chunked:
         from bella_tpu.utils.compile_ahead import ahead_call
@@ -2278,9 +2488,15 @@ def detect_overlaps(reads, config: BellaConfig):
 
         comp = ahead_call(_compact_sort, live, sr, sp, sc, rank, cnt)
         del live, sr, sp, sc, rank, cnt
-        narr = np.asarray(nnzs)  # one readback: nnz + per-lag prefix rows
+        hkey = _hints_key(reads, config)
+        hints = _hints_load(hkey) if _use_hints else None
+        if hints is not None:
+            # speculative sizes: dispatch everything, verify at the end
+            narr = hints["narr"]
+        else:
+            narr = np.asarray(nnzs)  # readback: nnz + per-lag prefix rows
         n = int(narr[0])
-        if n == 0:
+        if n == 0 and hints is None:
             return CandidatePairs.empty(), int(num_kmers), 0
         # _size_bucket (<=12.5% padding) instead of pow2 (up to 2x): the
         # emit and chain stages run on (upper-1) * size rows, so compact
@@ -2294,20 +2510,22 @@ def detect_overlaps(reads, config: BellaConfig):
             kmer_size=k, upper=config.upper_freq, bin_size=config.bin_size,
             lag_sizes=tuple(lag_sizes),
         )
-        try:  # wave B: the nnz readback fixed every remaining stage shape
-            n0 = jax.ShapeDtypeStruct((), jnp.int32)
-            cs = jax.eval_shape(
-                partial(_compact_slice, size=size), *comp
-            )
-            compile_ahead(
-                _fused_emit_packed, n0, *cs, lengths_dev, **emit_kw
-            )
-            ems = jax.eval_shape(
-                partial(_fused_emit_packed, **emit_kw), n0, *cs, lengths_dev
-            )
-            compile_ahead(_chain_sort_packed, *ems[:3])
-        except Exception:
-            pass
+        if hints is None:
+            try:  # wave B: the nnz readback fixed every remaining shape
+                n0 = jax.ShapeDtypeStruct((), jnp.int32)
+                cs = jax.eval_shape(
+                    partial(_compact_slice, size=size), *comp
+                )
+                compile_ahead(
+                    _fused_emit_packed, n0, *cs, lengths_dev, **emit_kw
+                )
+                ems = jax.eval_shape(
+                    partial(_fused_emit_packed, **emit_kw), n0, *cs,
+                    lengths_dev,
+                )
+                compile_ahead(_chain_sort_packed, *ems[:3])
+            except Exception:
+                pass
         csr, csp, csc, crank = ahead_call(_compact_slice, *comp, size=size)
         del comp
         hv, k3, pv, _n_cand = ahead_call(
@@ -2318,12 +2536,40 @@ def detect_overlaps(reads, config: BellaConfig):
         # stream — the full-stream materialisation is the memory hog at
         # 100M+-row streams, and shorter scans are faster everywhere;
         # the deferred live-count sync overlaps the sort dispatch
+        hint_out: dict = {}
+        if hints is not None:
+            finish_hint = dict(
+                nseed=int(hints["nseed"]),
+                stats_pre=(nnzs, _n_cand),
+            )
+            live_rows = int(hints["n_cand"])
+        else:
+            finish_hint = None
+            nc_memo: dict = {}
+
+            def live_rows():
+                nc_memo["v"] = int(_n_cand)
+                return nc_memo["v"]
         pairs = _chain_packed(
             hv, k3, pv, lengths_dev, kmer_size=k,
-            bin_size=config.bin_size, live_rows=lambda: int(_n_cand),
-            lengths_np=reads.lengths,
+            bin_size=config.bin_size, live_rows=live_rows,
+            lengths_np=reads.lengths, hint=finish_hint, hint_out=hint_out,
         )
         del hv, k3, pv, csr, csp, csc, crank
+        if hints is not None:
+            ok, n_act, nseed_act = _verify_hints(
+                hkey, hints, hint_out, int(nnzs.shape[0]), size,
+                lag_sizes, config.upper_freq,
+            )
+            if not ok:
+                log("sizeHintsMiss",
+                    "speculative sizes underestimated; re-running exact")
+                return detect_overlaps(reads, config, _use_hints=False)
+            return pairs.take_prefix(nseed_act), int(num_kmers), n_act
+        _hints_store(
+            hkey, narr, nc_memo.get("v", 0),
+            int(hint_out.get("nseed", pairs.num_pairs)),
+        )
         return pairs, int(num_kmers), n
     else:
         nnz = nnzs[0]

@@ -36,6 +36,8 @@ def main():
     from bella_tpu.overlap.pairs import detect_overlaps
 
     cfg = BellaConfig()
+    if os.environ.get("BELLA_BENCH_BAND"):  # band experiments
+        cfg.pallas_band = int(os.environ["BELLA_BENCH_BAND"])
     g = random_genome(GENOME, seed=0)
     n_reads = GENOME * COVERAGE // MEAN_LEN
     reads, _ = sample_reads(

@@ -271,3 +271,57 @@ def test_compact_stable_branch_matches(monkeypatch):
         pp._compact_sort.clear_cache()
     assert (nk, nnz) == (nk_ref, nnz_ref)
     assert _as_map(chk) == _as_map(ref)
+
+
+def test_size_hints_repeat_and_redo():
+    """Speculative-size repeat runs: the second detect_overlaps on the
+    same corpus dispatches with the first run's size buckets (no
+    blocking size readbacks) and must return identical pairs; poisoned
+    (too-small) hints must be detected and redone exactly."""
+    from bella_tpu.overlap import pairs as pp
+
+    g = random_genome(9000, seed=41)
+    reads, _ = sample_reads(
+        g, 40, mean_len=1100, min_len=500, error_rate=0.12, seed=42,
+        circular=False,
+    )
+    cfg = BellaConfig()
+    pp._SIZE_HINTS.clear()
+    ref, nk_ref, nnz_ref = detect_overlaps(reads, cfg)
+    key = pp._hints_key(reads, cfg)
+    assert key in pp._SIZE_HINTS  # first run recorded the sizes
+    rec = dict(pp._SIZE_HINTS[key])
+    hinted, nk, nnz = detect_overlaps(reads, cfg)  # hinted run
+    assert (nk, nnz) == (nk_ref, nnz_ref)
+    assert _as_map(hinted) == _as_map(ref)
+
+    # poisoned hints: every size too small -> the verification must
+    # catch the truncation and re-run the exact flow
+    pp._SIZE_HINTS[key] = dict(
+        narr=np.maximum(rec["narr"] // 7, 1),
+        n_cand=max(rec["n_cand"] // 7, 1),
+        nseed=max(rec["nseed"] // 7, 1),
+    )
+    redone, nk2, nnz2 = detect_overlaps(reads, cfg)
+    assert (nk2, nnz2) == (nk_ref, nnz_ref)
+    assert _as_map(redone) == _as_map(ref)
+    pp._SIZE_HINTS.clear()
+
+
+def test_size_hints_wide_path():
+    """Speculative sizes on the wide-id branch (upper_freq > 255)."""
+    from bella_tpu.overlap import pairs as pp
+
+    g = random_genome(9000, seed=43)
+    reads, _ = sample_reads(
+        g, 40, mean_len=1100, min_len=500, error_rate=0.12, seed=44,
+        circular=False,
+    )
+    cfg = BellaConfig(upper_freq=300)  # forces the wide path
+    pp._SIZE_HINTS.clear()
+    ref, nk_ref, nnz_ref = detect_overlaps(reads, cfg)
+    assert pp._hints_key(reads, cfg) in pp._SIZE_HINTS
+    hinted, nk, nnz = detect_overlaps(reads, cfg)
+    assert (nk, nnz) == (nk_ref, nnz_ref)
+    assert _as_map(hinted) == _as_map(ref)
+    pp._SIZE_HINTS.clear()
