@@ -43,10 +43,15 @@ class BellaConfig:
                                    # (xavier/simdutils.h:22-31); 128 = VPU lane dim
     aligner_backend: str = "auto"  # auto | pallas | jax  (auto = pallas on TPU,
                                    # adaptive-band pure-JAX elsewhere)
-    pallas_band: int = 256         # static centered band of the Pallas kernel
-                                   # (wider than band_width: no adaptive recentering)
+    pallas_band: int = 128         # static centered band of the Pallas kernel
+                                   # (128 measured best with the cascade
+                                   # rescue: 85.2 vs 76.0 Mbases/s at 256 on
+                                   # the bench corpus, identical pass set;
+                                   # ~5% of pairs drift past W/2 and re-extend
+                                   # at 256/512)
     band_rescue: bool = True       # re-extend pairs that saturate the static
-                                   # band through one 2x-band kernel pass
+                                   # band through a cascade of 2x-band kernel
+                                   # passes up to >= 512
                                    # (exactness for pathological indel drift)
     align_batch: int = 4096        # alignment pairs per device batch
                                    # (ref: 30000/GPU, include/align.hpp:35)
