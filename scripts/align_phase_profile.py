@@ -75,7 +75,8 @@ def run_batch(sel, valid, seq_len):
     ]))
     return xd._seed_extend_batch_pallas(
         rwd, lend, blk,
-        xdrop=int(cfg.xdrop), kmer_size=k, band=256, interpret=False,
+        xdrop=int(cfg.xdrop), kmer_size=k,
+        band=int(cfg.pallas_band), interpret=False,
         max_steps=0, seq_len=seq_len)
 
 print("warming", len(sels), "batches...")
