@@ -1000,9 +1000,18 @@ def align_candidates(
             # a narrow default band keeps the wide-band accuracy; each
             # level is one extra kernel variant, compiled once ever via
             # the executable cache)
-            ceiling = max(512, 2 * pallas_band)
+            ceiling = max(
+                int(getattr(config, "rescue_ceiling", 512)),
+                2 * pallas_band,
+            )
             rescue_band = 2 * pallas_band
             total_rescued = len(sat_idx)
+            # Per-level saturation for the continue-filter: a pair whose
+            # wider-band re-extension scored LOWER keeps its best-band
+            # result in `sat`, but the cascade decision must use the
+            # saturation measured at the CURRENT level's band scale —
+            # mixing scales would silently drop drift-limited pairs.
+            sat_level = sat.copy()
             while len(sat_idx) and rescue_band <= ceiling:
                 rb = 1 << max(6, int(len(sat_idx) - 1).bit_length())
                 rb = min(rb, batch_size)
@@ -1023,6 +1032,7 @@ def align_candidates(
                     )
                     arr = np.asarray(out)
                     sel = selp[:nv]
+                    sat_level[sel] = arr[5, :nv]
                     # keep whichever extension scored higher: x-drop is
                     # not monotone in band width (a wider band can
                     # surface an off-trajectory early max that kills the
@@ -1036,14 +1046,23 @@ def align_candidates(
                     beg_v[sel] = arr[3, keep]
                     end_v[sel] = arr[4, keep]
                     sat[sel] = arr[5, keep]
-                sat_idx = sat_idx[sat[sat_idx] >= rescue_band // 2 - 2]
+                sat_idx = sat_idx[sat_level[sat_idx] >= rescue_band // 2 - 2]
                 rescue_band *= 2
             still = len(sat_idx)
+            tail = 0
+            if still:
+                # exactness tail: whatever the widest static band could
+                # not resolve goes through the adaptive-band jax
+                # backend on a compacted read set (cost ~ residue size)
+                tail = _adaptive_tail_rescue(
+                    pairs, sat_idx, reads, reads_padded, read_lengths,
+                    config, k, score, beg_h, end_h, beg_v, end_v,
+                )
             log("bandDriftRescued",
                 f"{total_rescued} pairs re-extended (band cascade up to "
                 f"{rescue_band // 2})"
-                + (f"; {still} still saturated (use --band-width or the "
-                   "jax backend)" if still else ""))
+                + (f"; {tail} drift-limited pairs resolved via the "
+                   "adaptive jax backend; 0 unresolved" if tail else ""))
         elif len(sat_idx):
             log("bandDriftSaturated",
                 f"{len(sat_idx)} pairs at the static band edge "
@@ -1051,6 +1070,77 @@ def align_candidates(
                 "backend for these")
 
     return AlignmentResult(score, beg_h, end_h, beg_v, end_v, pairs.seed_rc.copy())
+
+
+def _adaptive_tail_rescue(pairs, sat_idx, reads, reads_padded,
+                          read_lengths, config, k,
+                          score, beg_h, end_h, beg_v, end_v) -> int:
+    """Terminal exactness step of the band-rescue cascade: pairs still
+    saturated after the widest static-band pass re-extend through the
+    adaptive-band jax backend, whose band offset follows the running
+    argmax and therefore tracks drift indefinitely (the reference's
+    behavior, xavier/simdutils.h:263-289 — a static centered band of
+    any width can be outrun by a long one-sided indel imbalance).
+
+    Runs on a COMPACTED read set: only the reads touched by the residue
+    are padded into a (R2, L2) matrix with pow2-bucketed shapes, so the
+    cost is proportional to the residue (typically a handful of pairs),
+    never the corpus — the full char matrix is not materialized on the
+    big-corpus path. Returns the number of pairs re-extended."""
+    from bella_tpu.utils.compile_ahead import ahead_call
+
+    rb = 256
+    xdrop = jnp.int32(config.xdrop)
+    for s in range(0, len(sat_idx), rb):
+        sel = sat_idx[s : s + rb]
+        nv = len(sel)
+        rid = np.unique(
+            np.concatenate([pairs.read_h[sel], pairs.read_v[sel]])
+        ).astype(np.int64)
+        lens_sub = read_lengths[rid].astype(np.int32)
+        R2 = 1 << max(5, int(len(rid) - 1).bit_length())
+        L2 = 1 << max(9, (int(lens_sub.max()) - 1).bit_length())
+        mat = np.full((R2, L2), 127, np.int8)
+        if reads is not None:
+            for i, r in enumerate(rid):
+                a, b = int(reads.offsets[r]), int(reads.offsets[r + 1])
+                mat[i, : b - a] = reads.codes[a:b]
+        else:
+            for i, r in enumerate(rid):
+                n = int(lens_sub[i])
+                mat[i, :n] = reads_padded[r, :n]
+        lens2 = np.zeros(R2, np.int32)
+        lens2[: len(rid)] = lens_sub
+        selp = (np.concatenate([sel, np.zeros(rb - nv, sel.dtype)])
+                if nv < rb else sel)
+        validp = np.arange(rb) < nv
+        bh2 = np.minimum(
+            np.searchsorted(rid, pairs.read_h[selp]), R2 - 1
+        ).astype(np.int32)
+        bv2 = np.minimum(
+            np.searchsorted(rid, pairs.read_v[selp]), R2 - 1
+        ).astype(np.int32)
+        out = np.asarray(ahead_call(
+            _seed_extend_batch,
+            jnp.asarray(mat), jnp.asarray(lens2),
+            jnp.asarray(bh2), jnp.asarray(bv2),
+            jnp.asarray(pairs.pos_h[selp].astype(np.int32)),
+            jnp.asarray(pairs.pos_v[selp].astype(np.int32)),
+            jnp.asarray(pairs.seed_rc[selp]), jnp.asarray(validp),
+            xdrop, kmer_size=k, band=int(config.band_width),
+        ))
+        sel = selp[:nv]
+        # max-of-backends, same contract as the cascade levels: x-drop
+        # is not monotone in band policy, keep the higher-scoring result
+        better = out[0, :nv] >= score[sel]
+        keep = np.nonzero(better)[0]
+        sel = sel[better]
+        score[sel] = out[0, keep]
+        beg_h[sel] = out[1, keep]
+        end_h[sel] = out[2, keep]
+        beg_v[sel] = out[3, keep]
+        end_v[sel] = out[4, keep]
+    return len(sat_idx)
 
 
 def pad_reads(reads, bucket: int = 512) -> Tuple[np.ndarray, np.ndarray]:

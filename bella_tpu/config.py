@@ -51,8 +51,15 @@ class BellaConfig:
                                    # at 256/512)
     band_rescue: bool = True       # re-extend pairs that saturate the static
                                    # band through a cascade of 2x-band kernel
-                                   # passes up to >= 512
-                                   # (exactness for pathological indel drift)
+                                   # passes up to rescue_ceiling; whatever
+                                   # still saturates the widest pass re-runs
+                                   # through the adaptive-band jax backend on
+                                   # a compacted read set (exactness for
+                                   # arbitrary indel drift, matching the
+                                   # reference's unbounded adaptive band,
+                                   # xavier/simdutils.h:263-289)
+    rescue_ceiling: int = 512      # widest static rescue band (>= 2x
+                                   # pallas_band is always tried)
     align_batch: int = 4096        # alignment pairs per device batch
                                    # (ref: 30000/GPU, include/align.hpp:35)
     max_steps: Optional[int] = None  # wavefront step cap; None = len-derived

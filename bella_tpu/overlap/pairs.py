@@ -1784,6 +1784,16 @@ def _finish_chain(ops, read_lengths, lengths_np, kmer_size: int,
     if stats is not None:
         hint_out["stats"] = arr[-1]
         arr = arr[:-1]
+        # The stats row is [*stats_pre..., nseed]; trim to the TRUE seed
+        # count when the hint overestimated (stale on-disk hint or key
+        # collision) — rows past it are sentinel/non-seed rows whose
+        # packed ids would index out of range in _unpack_pairs. An
+        # underestimate is caught by _verify_hints and redone exactly.
+        npre = sum(
+            int(np.prod(np.shape(a), dtype=np.int64))
+            for a in hint["stats_pre"]
+        )
+        num = min(num, int(hint_out["stats"][npre]))
     arr = arr[:, :num]
     if lengths_np is None:
         lengths_np = np.asarray(read_lengths)
@@ -1835,9 +1845,20 @@ _SIZE_HINTS: dict = {}
 def _hints_key(reads, config):
     lens = reads.lengths
     step = max(1, len(lens) // 64)
+    # Content sample: a strided byte sample of the packed codes (~16 K
+    # elements, a few MB of cache-line traffic even on the slow host)
+    # makes distinct corpora with identical length profiles hit
+    # distinct hint records — same-shape different-content corpora
+    # would otherwise pay a speculative dispatch + exact redo per run.
+    import hashlib
+
+    codes = np.asarray(reads.codes)
+    cstep = max(1, len(codes) // 16384)
+    sample = np.ascontiguousarray(codes[::cstep])
+    digest = hashlib.sha1(sample.tobytes()).hexdigest()[:16]
     return (
         reads.num_reads, len(reads.codes),
-        int(lens[::step].astype(np.int64).sum()),
+        int(lens[::step].astype(np.int64).sum()), digest,
         config.kmer_size, config.lower_freq, config.upper_freq,
         config.bin_size, config.use_hopc,
     )

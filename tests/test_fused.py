@@ -325,3 +325,53 @@ def test_size_hints_wide_path():
     assert (nk, nnz) == (nk_ref, nnz_ref)
     assert _as_map(hinted) == _as_map(ref)
     pp._SIZE_HINTS.clear()
+
+
+def test_size_hints_overestimate_trimmed():
+    """Overestimated hints (stale on-disk record / key collision): the
+    hinted run must trim to the TRUE seed count before unpacking —
+    sentinel rows past it would otherwise index out of range in
+    _unpack_pairs (packed hv=0xFFFFFFFF -> read id 65535) — and still
+    return exact results without a redo."""
+    from bella_tpu.overlap import pairs as pp
+
+    g = random_genome(9000, seed=45)
+    reads, _ = sample_reads(
+        g, 40, mean_len=1100, min_len=500, error_rate=0.12, seed=46,
+        circular=False,
+    )
+    cfg = BellaConfig()
+    pp._SIZE_HINTS.clear()
+    ref, nk_ref, nnz_ref = detect_overlaps(reads, cfg)
+    key = pp._hints_key(reads, cfg)
+    rec = dict(pp._SIZE_HINTS[key])
+    # every size inflated: verification passes (nothing undersized), so
+    # the run must succeed on the hinted path itself
+    pp._SIZE_HINTS[key] = dict(
+        narr=rec["narr"] * 3 + 64,
+        n_cand=rec["n_cand"] * 3 + 64,
+        nseed=rec["nseed"] * 3 + 64,
+    )
+    hinted, nk, nnz = detect_overlaps(reads, cfg)
+    assert (nk, nnz) == (nk_ref, nnz_ref)
+    assert _as_map(hinted) == _as_map(ref)
+    pp._SIZE_HINTS.clear()
+
+
+def test_hints_key_content_sensitive():
+    """Two corpora with identical read-length profiles but different
+    base content must map to distinct hint records."""
+    from bella_tpu.overlap import pairs as pp
+
+    g = random_genome(9000, seed=47)
+    reads, _ = sample_reads(
+        g, 30, mean_len=1000, min_len=500, error_rate=0.1, seed=48,
+        circular=False,
+    )
+    cfg = BellaConfig()
+    k1 = pp._hints_key(reads, cfg)
+    edited = reads.__class__(
+        reads.names, ((reads.codes + 1) % 4).astype(np.uint8), reads.offsets
+    )
+    k2 = pp._hints_key(edited, cfg)
+    assert k1 != k2

@@ -379,3 +379,12 @@ def _band_rescue_body():
     # band 512 covers the +-256-lane corridor: the rescue reaches the
     # same optimum (termination granularity may differ by < xdrop)
     assert int(on.score[0]) >= score_adaptive - int(cfg_on.xdrop)
+
+    # exactness tail: cap the static cascade BELOW the drift (ceiling
+    # 256 cannot hold the ~400-lane corridor) — the adaptive-backend
+    # tail must recover the full score anyway
+    cfg_tail = BellaConfig(
+        aligner_backend="pallas", band_rescue=True, rescue_ceiling=256,
+    )
+    tl = align_candidates(padded, lens, pairs, cfg_tail)
+    assert int(tl.score[0]) >= score_adaptive - int(cfg_tail.xdrop)
