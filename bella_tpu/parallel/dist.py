@@ -225,6 +225,33 @@ def detect_overlaps_sharded(
         cap_occ = max(2 * m_loc // n, 4096)
     rl = reads.lengths.astype(np.int32)
 
+    # Multi-host (jax.distributed) support: every process computes the
+    # same host-side split from the same reads, so global arrays are
+    # built by device_put-ing the full numpy block against the global
+    # sharding (each process transfers only its addressable shards);
+    # device->host reads go through process_allgather. Single-process
+    # keeps the zero-copy jnp.asarray path.
+    multi = jax.process_count() > 1
+    if multi:
+        from jax.experimental import multihost_utils
+
+        shard = NamedSharding(mesh, P(AXIS))
+        repl = NamedSharding(mesh, P())
+
+        def _put_b(a):
+            return jax.device_put(np.asarray(a), shard)
+
+        def _put_r(a):
+            return jax.device_put(np.asarray(a), repl)
+
+        def _host(x):
+            return multihost_utils.process_allgather(x, tiled=True)
+    else:
+        _put_b = _put_r = jnp.asarray
+
+        def _host(x):
+            return jax.tree_util.tree_map(np.asarray, x)
+
     for attempt in range(5):
         # in-shard reliable prefix capacity: the received occurrence
         # stream (n * cap_occ rows) is mostly routing pad + unreliable
@@ -234,15 +261,15 @@ def detect_overlaps_sharded(
         cap_rel = min(max(n * cap_occ // 2, 8192), n * cap_occ)
         cap_pair = max(2 * (upper - 1) * cap_rel // n, 8192)
         out = _dist_step(
-            mesh, jnp.asarray(codes_b), jnp.asarray(lengths),
-            jnp.asarray(offs), jnp.asarray(n_real), jnp.asarray(rid_base),
-            jnp.asarray(rl),
+            mesh, _put_b(codes_b), _put_b(lengths),
+            _put_b(offs), _put_b(n_real), _put_b(rid_base),
+            _put_r(rl),
             kmer_size=k, lower=config.lower_freq, upper=upper,
             bin_size=config.bin_size, cap_occ=cap_occ, cap_rel=cap_rel,
             cap_pair=cap_pair, wide=wide,
         )
         ovf = out[-1]
-        overflow = int(np.asarray(ovf).sum())
+        overflow = int(np.asarray(_host(ovf)).sum())
         if overflow == 0:
             break
         # NEVER drop: retry the exchange with doubled capacities (the
@@ -252,6 +279,7 @@ def detect_overlaps_sharded(
     else:
         raise RuntimeError("sharded routing still overflowing after retries")
 
+    out = _host(out)  # one gather per array; numpy thereafter
     if wide:
         (seed_mask, rh, rv, cm, ph, pv, ov, rc, nnz_d, nk_d, ovf) = out
     else:
@@ -415,16 +443,40 @@ def init_distributed() -> None:
     """Multi-host runtime init: call before any jax computation when the
     job spans hosts (reference analogue: none — BELLA is single-node;
     SURVEY §5 distributed backend). No-op when the coordinator env vars
-    are absent or initialization already happened."""
+    are absent or initialization already happened.
+
+    Config via env (the manual-cluster form; TPU pod slices and SLURM
+    are auto-detected by jax.distributed.initialize() itself):
+      JAX_COORDINATOR_ADDRESS  host:port of process 0's coordinator
+      JAX_NUM_PROCESSES        total process count
+      JAX_PROCESS_ID           this process's rank
+    On the CPU backend, cross-process collectives need the gloo
+    implementation (set before backend init; validated by the
+    2-process parity test, tests/test_multiprocess.py)."""
     import os
 
-    if not (
+    coord = (
         os.environ.get("JAX_COORDINATOR_ADDRESS")
         or os.environ.get("COORDINATOR_ADDRESS")
-    ):
+    )
+    if not coord:
         return
+    kwargs = {}
+    nproc = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
+    if nproc is not None and pid is not None:
+        kwargs = dict(
+            coordinator_address=coord,
+            num_processes=int(nproc),
+            process_id=int(pid),
+        )
     try:
-        jax.distributed.initialize()
+        if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:
+        pass
+    try:
+        jax.distributed.initialize(**kwargs)
         log(
             "jaxDistributed",
             f"process {jax.process_index()}/{jax.process_count()}",

@@ -1,0 +1,96 @@
+"""2-process jax.distributed parity: the distributed detect path must
+produce EXACTLY the single-chip result when its collectives genuinely
+cross process boundaries (gloo over the distributed runtime), not just
+virtual devices inside one process.
+
+This is the multi-host pillar of SURVEY.md §5's communication-backend
+row: init_distributed + detect_overlaps_sharded running across two OS
+processes x 4 virtual CPU devices each (8-device global mesh).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+
+from bella_tpu import BellaConfig
+from bella_tpu.io.simulate import random_genome, sample_reads
+from bella_tpu.overlap.pairs import detect_overlaps
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _pair_map(rh, rv, ph, pv, cnt, mat, ov, rc):
+    return {
+        (int(rh[i]), int(rv[i])): (
+            int(cnt[i]), int(mat[i]), int(ov[i]),
+            int(ph[i]), int(pv[i]), bool(rc[i]),
+        )
+        for i in range(len(rh))
+    }
+
+
+def test_two_process_distributed_parity(tmp_path):
+    # single-process reference on the SAME corpus (seeds must match
+    # multiproc_worker.py)
+    g = random_genome(12000, seed=71)
+    reads, _ = sample_reads(
+        g, 50, mean_len=1200, min_len=600, error_rate=0.12, seed=72,
+        circular=False,
+    )
+    cfg = BellaConfig()
+    ref, nk_ref, nnz_ref = detect_overlaps(reads, cfg)
+    ref_map = _pair_map(
+        ref.read_h, ref.read_v, ref.pos_h, ref.pos_v,
+        ref.count, ref.matches, ref.overlap_est, ref.seed_rc,
+    )
+    assert len(ref_map) > 20  # the corpus must actually overlap
+
+    port = _free_port()
+    out = str(tmp_path / "mp_pairs.npz")
+    worker = os.path.join(os.path.dirname(__file__), "multiproc_worker.py")
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.path.dirname(os.path.dirname(os.path.abspath(__file__)))]
+        + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else [])
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), str(port), out],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    logs = []
+    for p in procs:
+        try:
+            o, _ = p.communicate(timeout=560)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        logs.append(o)
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, f"worker {i}:\n{logs[i][-3000:]}"
+        assert f"WORKER_OK {i}" in logs[i], logs[i][-3000:]
+
+    d = np.load(out)
+    assert int(d["num_kmers"]) == nk_ref
+    assert int(d["nnz"]) == nnz_ref
+    mp_map = _pair_map(
+        d["read_h"], d["read_v"], d["pos_h"], d["pos_v"],
+        d["count"], d["matches"], d["overlap_est"], d["seed_rc"],
+    )
+    assert set(mp_map) == set(ref_map)
+    for key in ref_map:
+        assert mp_map[key] == ref_map[key], (key, mp_map[key], ref_map[key])
