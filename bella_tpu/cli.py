@@ -42,8 +42,11 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--fixed-threshold", type=int, default=-1,
                     help="fixed alignment score threshold (debug)")
     ap.add_argument("--auto-bounds", action="store_true",
-                    help="derive frequency bounds from coverage via the binomial model")
-    ap.add_argument("--coverage", type=int, default=0, help="dataset coverage for --auto-bounds")
+                    help="derive frequency bounds from coverage via the binomial "
+                         "model (depth estimated from the data when --coverage "
+                         "is not given)")
+    ap.add_argument("--coverage", type=int, default=0,
+                    help="dataset coverage for --auto-bounds (0 = estimate)")
     ap.add_argument("--band-width", type=int, default=128, help="aligner band width")
     ap.add_argument("--write-matrix", metavar="MTX",
                     help="dump the reads x reliable-kmers matrix (MatrixMarket)")
@@ -99,15 +102,12 @@ def main(argv=None) -> int:
 
         init_distributed()
     if args.auto_bounds:
-        if not args.coverage:
-            print("--auto-bounds requires --coverage", file=sys.stderr)
-            return 2
-        from bella_tpu.kmers.bound import compute_lower, compute_upper
-
-        config.lower_freq = compute_lower(args.coverage, config.error_rate, config.kmer_size, 0.002)
-        config.upper_freq = compute_upper(args.coverage, config.error_rate, config.kmer_size, 0.002)
-        log("autoLowerBound", config.lower_freq)
-        log("autoUpperBound", config.upper_freq)
+        # bounds resolve in run_pipeline once reads are parsed: with
+        # --coverage they come straight from the binomial model; without
+        # it the depth itself is estimated from the corpus's exact
+        # multiplicity statistics (kmers/bound.estimate_coverage)
+        config.auto_bounds = True
+        config.coverage = args.coverage
 
     out_path = args.output + ".out"
     if os.path.exists(out_path):

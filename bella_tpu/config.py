@@ -37,6 +37,13 @@ class BellaConfig:
     lower_freq: int = 2            # -l  reliable k-mer lower bound
     upper_freq: int = 8            # -u  reliable k-mer upper bound
     smer_len: int = 5              # syncmer s-mer length (include/syncmer.hpp:47)
+    auto_bounds: bool = False      # --auto-bounds  derive [lower,upper] from
+                                   # coverage via the binomial model
+                                   # (kmercode/bound.cpp:40-95)
+    coverage: int = 0              # --coverage for --auto-bounds; 0 =
+                                   # estimate depth from the corpus's exact
+                                   # multiplicity stats (kmers/bound.py
+                                   # estimate_coverage)
 
     # --- TPU-native knobs (no reference equivalent; replace RAM probing) ---
     band_width: int = 128          # x-drop aligner band (lanes); ref uses 31

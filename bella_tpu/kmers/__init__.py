@@ -5,7 +5,7 @@ from bella_tpu.kmers.count import (
     build_reliable_triples,
     ReliableTriples,
 )
-from bella_tpu.kmers.bound import compute_lower, compute_upper
+from bella_tpu.kmers.bound import compute_lower, compute_upper, estimate_coverage
 
 __all__ = [
     "KmerOccurrences",
@@ -15,4 +15,5 @@ __all__ = [
     "ReliableTriples",
     "compute_lower",
     "compute_upper",
+    "estimate_coverage",
 ]

@@ -59,3 +59,54 @@ def compute_lower(coverage: int, error_rate: float, kmer_size: int, min_probabil
         prev = total
         m += 1
     return max(m - 1, 2)
+
+
+def estimate_coverage(reads, config) -> int:
+    """Estimate sequencing depth from the corpus itself, replacing the
+    reference's requirement that the user supply `--coverage`.
+
+    Model: a genomic k-mer locus at depth d yields ~Poisson(lam)
+    error-free occurrences with lam = d * (1-e)^k (each copy survives
+    intact with probability (1-e)^k, bound.cpp's success probability).
+    Error k-mers are overwhelmingly singletons, so the multiplicity-
+    >= 2 population is dominated by genomic k-mers and its mean
+    multiplicity is the zero-and-one-truncated Poisson mean
+        m2(lam) = lam * (1 - exp(-lam)) / (1 - exp(-lam) - lam*exp(-lam)).
+    The exact (D_ge2, M_ge2) counters (kmers/count.multiplicity_stats
+    — the statistics the reference approximates with HyperLogLog,
+    kmercode/hyperloglog.hpp:49-108) give the observed mean; solving
+    m2(lam) = M_ge2/D_ge2 by bisection and dividing by (1-e)^k yields
+    the depth. Returns 0 when the corpus carries no usable signal
+    (callers must then require an explicit --coverage)."""
+    from bella_tpu.kmers.count import multiplicity_stats
+
+    _, _, d2, m2_mass = multiplicity_stats(reads, config)
+    if d2 < 16:
+        return 0
+    m_obs = m2_mass / d2
+    if m_obs <= 2.0005:
+        return 0
+
+    def trunc_mean(lam: float) -> float:
+        if lam < 1e-9:
+            return 2.0
+        z = exp(-lam)
+        denom = 1.0 - z - lam * z
+        if denom <= 0:
+            return 2.0
+        return lam * (1.0 - z) / denom
+
+    lo, hi = 1e-6, 4.0
+    while trunc_mean(hi) < m_obs and hi < 1e6:
+        hi *= 2.0
+    for _ in range(80):
+        mid = 0.5 * (lo + hi)
+        if trunc_mean(mid) < m_obs:
+            lo = mid
+        else:
+            hi = mid
+    lam = 0.5 * (lo + hi)
+    p = (1.0 - config.effective_error_rate) ** config.kmer_size
+    if p <= 0:
+        return 0
+    return max(int(round(lam / p)), 1)

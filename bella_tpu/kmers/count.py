@@ -222,3 +222,41 @@ def build_reliable_triples(
     return ReliableTriples(
         kmer_ids, read_ids, positions, is_rc, id_base, reads.num_reads
     )
+
+
+@jax.jit
+def _multiplicity_stats_dev(khi, klo):
+    """Exact distinct/mass counters of the canonical k-mer stream:
+    (D_all, M_all, D_ge2, M_ge2) — distinct k-mers and total occurrence
+    mass, overall and restricted to multiplicity >= 2. One 2xu32-key
+    sort + segmented scans; a 4-scalar readback."""
+    from bella_tpu.utils import segments as seg
+
+    khi, klo = jax.lax.sort((khi, klo), num_keys=2)
+    live = (khi != jnp.uint32(0xFFFFFFFF)) | (klo != jnp.uint32(0xFFFFFFFF))
+    b = seg.boundaries2(khi, klo)
+    counts = seg.seg_sum_bcast(jnp.ones_like(khi, jnp.int32), b)
+    head = b & live
+    ge2 = head & (counts >= 2)
+    return jnp.stack([
+        jnp.sum(head.astype(jnp.int64)),
+        jnp.sum(jnp.where(head, counts, 0).astype(jnp.int64)),
+        jnp.sum(ge2.astype(jnp.int64)),
+        jnp.sum(jnp.where(ge2, counts, 0).astype(jnp.int64)),
+    ])
+
+
+def multiplicity_stats(reads: ReadSet, config: BellaConfig):
+    """(distinct, mass, distinct_ge2, mass_ge2) over the corpus's
+    canonical k-mers — the exact global statistics the reference can
+    only approximate with its HyperLogLog sketch
+    (kmercode/hyperloglog.hpp:49-108, used include/kmercount.hpp:269,483
+    to size the Bloom filter): sort-based exact counting makes the true
+    numbers one sort away, so all sketch-driven sizing here is exact."""
+    occ = extract_occurrences(reads, config)
+    if occ.size == 0:
+        return 0, 0, 0, 0
+    khi = (occ.kmers >> _U64(32)).astype(jnp.uint32)
+    klo = occ.kmers.astype(jnp.uint32)
+    s = np.asarray(_multiplicity_stats_dev(khi, klo))
+    return int(s[0]), int(s[1]), int(s[2]), int(s[3])

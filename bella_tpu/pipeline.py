@@ -41,6 +41,32 @@ def run_pipeline(
         config.error_rate = reads.estimated_error_rate
         log("errorRate (estimated)", f"{config.error_rate:.6f}")
 
+    if config.auto_bounds and reads.num_reads:
+        from bella_tpu.kmers.bound import (
+            compute_lower,
+            compute_upper,
+            estimate_coverage,
+        )
+
+        cov = config.coverage
+        if not cov:
+            with phase("coverageEstimation"):
+                cov = estimate_coverage(reads, config)
+            if cov <= 0:
+                raise RuntimeError(
+                    "--auto-bounds: no usable multiplicity signal to "
+                    "estimate depth from; pass --coverage explicitly"
+                )
+            log("estimatedCoverage", cov)
+        config.lower_freq = compute_lower(
+            cov, config.error_rate, config.kmer_size, 0.002
+        )
+        config.upper_freq = compute_upper(
+            cov, config.error_rate, config.kmer_size, 0.002
+        )
+        log("autoLowerBound", config.lower_freq)
+        log("autoUpperBound", config.upper_freq)
+
     if config.profile_dir:
         import jax
 

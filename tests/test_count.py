@@ -109,3 +109,30 @@ def test_reliable_bounds_math():
     # HiFi-like: almost all kmers correct -> upper near coverage
     up_hifi = compute_upper(30, 0.005, 17, 0.002)
     assert up_hifi > up
+
+
+def test_estimate_coverage():
+    """Depth estimation from exact multiplicity stats (the reference's
+    HyperLogLog sizing role, kmercode/hyperloglog.hpp:49-108, done with
+    exact counters): estimate within ~25% of true depth across error
+    regimes, and degenerate corpora return 0 (caller must ask for
+    --coverage)."""
+    from bella_tpu.io.simulate import random_genome, sample_reads
+    from bella_tpu.kmers.bound import estimate_coverage
+
+    g = random_genome(30000, seed=9)
+    for err in (0.15, 0.005):
+        reads, _ = sample_reads(
+            g, 30 * 30000 // 2500, mean_len=2500, min_len=1200,
+            error_rate=err, seed=10, circular=False,
+        )
+        true_cov = float(reads.offsets[-1]) / 30000
+        est = estimate_coverage(reads, BellaConfig(error_rate=err))
+        assert abs(est - true_cov) / true_cov < 0.25, (err, est, true_cov)
+
+    # no multiplicity signal: a handful of disjoint random reads
+    solo, _ = sample_reads(
+        random_genome(200000, seed=11), 5, mean_len=1000, min_len=800,
+        error_rate=0.15, seed=12, circular=False,
+    )
+    assert estimate_coverage(solo, BellaConfig()) == 0

@@ -10,7 +10,6 @@ from bella_tpu.sparse import (
     write_matrix_market,
 )
 from bella_tpu.utils.markov import expected_steps_to_shared_kmer, min_overlap_for_detection
-from bella_tpu.utils.sketch import BloomFilter, HyperLogLog
 
 
 def test_csc_roundtrip_and_transpose():
@@ -60,37 +59,6 @@ def test_rmat_shapes_and_skew():
     # R-MAT is skewed: top vertex has far more than average degree
     counts = np.bincount(r, minlength=256)
     assert counts.max() > 4 * counts.mean()
-
-
-def test_hll_estimate_accuracy():
-    rng = np.random.default_rng(4)
-    n = 50000
-    keys = rng.integers(0, 1 << 62, n).astype(np.uint64)
-    h = HyperLogLog(12)
-    h.add(keys)
-    est = h.estimate()
-    true = len(np.unique(keys))
-    assert abs(est - true) / true < 0.05
-    # max-merge of two halves equals whole
-    h1, h2 = HyperLogLog(12), HyperLogLog(12)
-    h1.add(keys[: n // 2])
-    h2.add(keys[n // 2 :])
-    h1.merge(h2)
-    assert abs(h1.estimate() - est) / est < 1e-9
-
-
-def test_bloom_filter():
-    rng = np.random.default_rng(5)
-    keys = rng.integers(0, 1 << 62, 10000).astype(np.uint64)
-    bf = BloomFilter(20000, fp_rate=0.05)
-    first = bf.check_add(keys)
-    # none present initially (fp possible but rare at this load)
-    assert first.mean() < 0.05
-    again = bf.check(keys)
-    assert again.all()
-    other = rng.integers(0, 1 << 62, 10000).astype(np.uint64)
-    fp = bf.check(other).mean()
-    assert fp < 0.10
 
 
 def test_markov_expected_overlap():
