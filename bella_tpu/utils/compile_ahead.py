@@ -131,11 +131,108 @@ def _code_salt() -> str:
     return _CODE_SALT
 
 
+_MOD_SALTS: Dict[str, str] = {}
+_MOD_FILES: Dict[str, Optional[str]] = {}
+
+
+def _module_path(modname: str) -> Optional[str]:
+    if modname in _MOD_FILES:
+        return _MOD_FILES[modname]
+    path: Optional[str] = None
+    try:
+        import sys
+
+        m = sys.modules.get(modname)
+        if m is not None:
+            path = getattr(m, "__file__", None)
+        else:
+            import importlib.util
+
+            spec = importlib.util.find_spec(modname)
+            path = spec.origin if spec else None
+    except Exception:
+        path = None
+    if path is not None and not path.endswith(".py"):
+        path = None
+    _MOD_FILES[modname] = path
+    return path
+
+
+def _module_closure(modname: str, seen: set) -> None:
+    """Transitive intra-package dependency closure of a module,
+    discovered by scanning its SOURCE for bella_tpu.* references —
+    both dotted uses and `from bella_tpu.x import y` forms (so lazy
+    function-body imports are caught too; every import in this package
+    is package-absolute)."""
+    if modname in seen or not modname.startswith("bella_tpu"):
+        return
+    seen.add(modname)
+    path = _module_path(modname)
+    if not path:
+        return
+    try:
+        with open(path) as f:
+            src = f.read()
+    except OSError:
+        return
+    import re
+
+    cands = set(re.findall(r"bella_tpu(?:\.\w+)+", src))
+    for base, names in re.findall(
+        r"from\s+(bella_tpu(?:\.\w+)*)\s+import\s+([^\n(]+|\([^)]*\))", src
+    ):
+        cands.add(base)
+        for nm in re.split(r"[,\s()]+", names):
+            if nm and nm.isidentifier() and nm != "as":
+                cands.add(f"{base}.{nm}")
+    for c in cands:
+        # a dotted ref may name a module or an attribute; walk prefixes
+        parts = c.split(".")
+        for end in range(len(parts), 1, -1):
+            sub = ".".join(parts[:end])
+            if sub in seen:
+                break
+            if _module_path(sub):
+                _module_closure(sub, seen)
+                break
+
+
+def _module_salt(fn) -> str:
+    """Per-stage source salt: hash over the defining module's file plus
+    its intra-package import closure (path, mtime, size). An edit to
+    align/xdrop.py no longer invalidates the detect ladder's spec->HLO
+    shortcuts — each stage re-traces only when code it can actually
+    reach changed (VERDICT r4: the global salt made every edit re-pay
+    the full warm-up's trace+lower tax)."""
+    mod = getattr(fn, "__module__", None) or ""
+    if not mod.startswith("bella_tpu"):
+        return _code_salt()
+    s = _MOD_SALTS.get(mod)
+    if s is None:
+        import hashlib
+
+        seen: set = set()
+        _module_closure(mod, seen)
+        files = sorted(p for m in seen if (p := _MOD_FILES.get(m)))
+        if not files:
+            return _code_salt()
+        h = hashlib.sha256()
+        for p in files:
+            try:
+                st = os.stat(p)
+            except OSError:
+                continue
+            h.update(f"{p}|{st.st_mtime_ns}|{st.st_size}\n".encode())
+        s = h.hexdigest()[:16]
+        _MOD_SALTS[mod] = s
+    return s
+
+
 def _stable_key(fn, args, statics) -> Optional[str]:
-    """Cross-process signature key: code salt + module-qualified
-    function name + leaf (shape, dtype) signature + statics. Only valid
-    for top-level jitted functions (no closure state) — which every
-    pipeline stage is."""
+    """Cross-process signature key: per-module source salt + toolchain
+    + module-qualified function name + leaf (shape, dtype) signature +
+    statics. Only valid for top-level jitted functions (no closure
+    state) — which every pipeline stage is."""
     import hashlib
 
     import jax
@@ -148,9 +245,12 @@ def _stable_key(fn, args, statics) -> Optional[str]:
         "None" if x is None else (tuple(x.shape), str(x.dtype))
         for x in leaves
     )
-    body = repr((name, sig, tuple(sorted(statics.items()))))
+    body = repr((
+        jax.__version__, jax.default_backend(), name, sig,
+        tuple(sorted(statics.items())),
+    ))
     return hashlib.sha256(
-        (_code_salt() + body).encode()
+        (_module_salt(fn) + body).encode()
     ).hexdigest()[:40]
 
 

@@ -126,3 +126,40 @@ def test_ahead_call_fallback_on_bad_fn(monkeypatch):
 
     out = np.asarray(ca.ahead_call(plain, jnp.arange(3)))
     np.testing.assert_array_equal(out, [0, 2, 4])
+
+
+def test_module_salt_closure_is_per_stage():
+    """The spec->HLO shortcut salt must be scoped to each stage's
+    reachable code: the detect module's closure excludes the aligner
+    (an aligner edit must not re-trace the detect ladder), while the
+    aligner's closure includes the pairs module it imports; lazy
+    function-body imports (segments inside kmers/count.py) are caught
+    by the source scan."""
+    import bella_tpu.align.xdrop  # noqa: F401  (populate sys.modules)
+    import bella_tpu.overlap.pairs  # noqa: F401
+
+    seen = set()
+    ca._module_closure("bella_tpu.overlap.pairs", seen)
+    assert "bella_tpu.utils.segments" in seen
+    assert "bella_tpu.seq.encode" in seen
+    assert not any(m.startswith("bella_tpu.align") for m in seen), seen
+
+    seen_a = set()
+    ca._module_closure("bella_tpu.align.xdrop", seen_a)
+    assert "bella_tpu.align.pallas_xdrop" in seen_a
+    # the aligner takes CandidatePairs duck-typed: no pairs dependency,
+    # so detect edits don't re-trace align kernels either
+    assert not any(m.startswith("bella_tpu.overlap") for m in seen_a), seen_a
+
+    seen_c = set()
+    ca._module_closure("bella_tpu.kmers.count", seen_c)
+    assert "bella_tpu.utils.segments" in seen_c
+
+    # distinct salts for distinct closures; stable within a process
+    import bella_tpu.overlap.pairs as pp
+    import bella_tpu.align.xdrop as xd
+
+    s1 = ca._module_salt(pp.detect_overlaps)
+    s2 = ca._module_salt(xd._seed_extend_batch)
+    assert s1 != s2
+    assert ca._module_salt(pp.detect_overlaps) == s1
