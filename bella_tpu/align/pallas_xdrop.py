@@ -125,7 +125,11 @@ def _kernel(t_ref, q_ref, tl_ref, ql_ref, score_ref, te_ref, qe_ref,
     )
     # char windows for diag d=2: twin[p] = T[p-1], qwin[p] = Q[1-p]
     if packed:
-        thead = _unpack_chars(t_ref[:, :128], jnp.int32(0), W, bb, sdt)
+        # word window covering the W-char head: (W+30)>>4 words, padded
+        # to a 128-multiple (wide rescue bands pass W > 2048 chars = 128
+        # words; the fixed 128-word slice underflowed the unpack loop)
+        nw = -(-((W + 30) >> 4) // 128) * 128
+        thead = _unpack_chars(t_ref[:, :nw], jnp.int32(0), W, bb, sdt)
         qw0 = q_ref[:, 0:1]
         q0 = (qw0 & jnp.uint32(3)).astype(sdt)
         q1 = ((qw0 >> jnp.uint32(2)) & jnp.uint32(3)).astype(sdt)

@@ -65,8 +65,14 @@ class BellaConfig:
                                    # arbitrary indel drift, matching the
                                    # reference's unbounded adaptive band,
                                    # xavier/simdutils.h:263-289)
-    rescue_ceiling: int = 512      # widest static rescue band (>= 2x
-                                   # pallas_band is always tried)
+    rescue_ceiling: int = 2048     # widest static rescue band (>= 2x
+                                   # pallas_band is always tried).
+                                   # Measured on the bench corpus: 2048
+                                   # resolves every drifted pair in-kernel
+                                   # AND is fastest (2.38 s vs 2.80 at 512,
+                                   # where 70 pairs took the jax tail);
+                                   # the tail remains as the terminal
+                                   # exactness guarantee for longer drift
     align_batch: int = 4096        # alignment pairs per device batch
                                    # (ref: 30000/GPU, include/align.hpp:35)
     max_steps: Optional[int] = None  # wavefront step cap; None = len-derived

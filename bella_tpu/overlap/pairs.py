@@ -1016,6 +1016,7 @@ def _fused_emit_packed(
     n_rows, sr, sp, sc, rank, read_lengths,
     kmer_size: int, upper: int, bin_size: int,
     lag_sizes: tuple = (),
+    h_bounds=None,
 ):
     """Packed phase 2+3: when read ids and positions fit 16 bits (the
     reference caps positions at 16 bits too, src/main.cpp:193), the whole
@@ -1067,6 +1068,13 @@ def _fused_emit_packed(
         h_is_a = ra > rb
         h = jnp.where(h_is_a, ra, rb).astype(u32)
         v = jnp.where(h_is_a, rb, ra).astype(u32)
+        if h_bounds is not None:
+            # hv-range staged chaining: only pairs whose h lands in
+            # [h_bounds[0], h_bounds[1]) are emitted this pass — a
+            # pair's candidates all share (h, v), so read-range
+            # partitioning keeps pairs whole (reference analogue:
+            # column-block staging, include/overlap.hpp:682-710)
+            ok = ok & (h >= h_bounds[0]) & (h < h_bounds[1])
         pos_h = jnp.where(h_is_a, pa, pb).astype(jnp.int32)
         pos_v = jnp.where(h_is_a, pb, pa).astype(u32)
         flip = jnp.where(h_is_a, ca, cb) != jnp.where(h_is_a, cb, ca)
@@ -1432,6 +1440,7 @@ def _fused_emit_wide(
     n_rows, sr, sp, sc, rank, read_lengths,
     kmer_size: int, upper: int, bin_size: int,
     lag_sizes: tuple = (),
+    h_bounds=None,
 ):
     """Wide-id pair emission: candidate rows (h, v, k3, pv) with h and v
     as separate u32 operands (sentinel 0xFFFFFFFF on h and v); k3 packs
