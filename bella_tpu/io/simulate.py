@@ -100,3 +100,52 @@ def write_truth(path: str, truth) -> None:
     with open(path, "w") as f:
         for ref, name, s, e in truth:
             f.write(f"{ref} {name} {s} {e}\n")
+
+
+def random_genome_with_repeats(
+    length: int,
+    seed: int = 0,
+    repeat_frac: float = 0.2,
+    n_families: int = 4,
+    unit_len: int = 2000,
+    divergence: float = 0.02,
+    tandem_frac: float = 0.4,
+) -> np.ndarray:
+    """Random genome with ~repeat_frac of its content made of repeats —
+    the content class where chaining/binning policies genuinely diverge
+    (reads from different repeat copies share k-mers without true
+    overlap; the reference's demo E. coli reads carry such repeats but
+    are not vendored, .MISSING_LARGE_BLOBS).
+
+    n_families repeat units of ~unit_len bp are copied until the repeat
+    budget is spent: tandem_frac of the budget as tandem arrays (3-8
+    adjacent copies), the rest dispersed singly; every copy mutates at
+    `divergence` substitutions (diverged copies, as in real genomes).
+    Copies overwrite the unique background at random positions, so
+    total length is exactly `length`."""
+    rng = np.random.default_rng(seed)
+    g = rng.integers(0, 4, size=length, dtype=np.uint8)
+    budget = int(length * repeat_frac)
+    units = [
+        rng.integers(0, 4, size=int(unit_len * rng.uniform(0.5, 1.5)),
+                     dtype=np.uint8)
+        for _ in range(n_families)
+    ]
+
+    def place(arr):
+        sub = rng.random(len(arr)) < divergence
+        arr = arr.copy()
+        arr[sub] = (arr[sub] + rng.integers(1, 4, size=int(sub.sum()))) % 4
+        start = int(rng.integers(0, max(length - len(arr), 1)))
+        g[start : start + len(arr)] = arr[: length - start]
+        return len(arr)
+
+    spent = 0
+    tandem_budget = int(budget * tandem_frac)
+    while spent < tandem_budget:
+        u = units[int(rng.integers(0, n_families))]
+        reps = int(rng.integers(3, 9))
+        spent += place(np.tile(u, reps))
+    while spent < budget:
+        spent += place(units[int(rng.integers(0, n_families))])
+    return g

@@ -1189,6 +1189,14 @@ def _compact_slice(ridpos, misc, size: int):
     return sr, sp, sc, rank
 
 
+@partial(jax.jit, static_argnames=("size",))
+def _take_prefix_n(*arrs, size: int):
+    """Static-size prefix of N same-length arrays (one tiny program per
+    operand-count x size bucket; keeps packed compaction operands packed
+    for the staged-chain resident set)."""
+    return tuple(a[:size] for a in arrs)
+
+
 def _compact_reliable(live, sr, sp, sc, rank, size: int, cnt=None):
     """Sort-based device compaction of reliable occurrence rows (see
     _compact_sort for the design; this wrapper runs both halves)."""
@@ -1474,6 +1482,10 @@ def _fused_emit_wide(
         h_is_a = ra > rb
         h = jnp.where(h_is_a, ra, rb)
         v = jnp.where(h_is_a, rb, ra)
+        if h_bounds is not None:
+            # hv-range staged chaining (see _fused_emit_packed)
+            hu = h.astype(u32)
+            ok = ok & (hu >= h_bounds[0]) & (hu < h_bounds[1])
         pos_h = jnp.where(h_is_a, pa, pb).astype(jnp.int32)
         pos_v = jnp.where(h_is_a, pb, pa).astype(u32)
         flip = jnp.where(h_is_a, ca, cb) != jnp.where(h_is_a, cb, ca)
@@ -1966,7 +1978,8 @@ def _size_bucket(n: int) -> int:
 
 
 def _detect_overlaps_split(reads, config: BellaConfig, budget: float,
-                           wide: bool = False, force_group: int = 0):
+                           wide: bool = False, force_group: int = 0,
+                           staged_chain: bool = False):
     """Beyond-HBM fused path: k-mer-space split counting with on-device
     accumulation (the reference's --split-count, include/kmercount.hpp:
     478-534).
@@ -2008,6 +2021,14 @@ def _detect_overlaps_split(reads, config: BellaConfig, budget: float,
     # per-pass peak without shrinking throughput). 100 B/position OOMed
     # at 252 Mbp once the per-pass compacted blocks and the 8-stream
     # extractor scan joined the peak.
+    #
+    # staged_chain additionally keeps the 2-bit chunk codes (0.25
+    # B/position) AND the accumulated packed reliable slices (~1.5
+    # B/position at long-read reliable densities) resident through the
+    # pass loop — carve them out of the working budget so the per-pass
+    # peak still fits (2.2 Gbp OOMed at the unadjusted sizing).
+    if staged_chain:
+        budget = max(budget - total * 1.75, budget * 0.4)
     splits = max(int(np.ceil(total * 200 / budget)), 2)
     # packed partition: the pass tag rides the key word's free top bits,
     # cutting the partition sort (the split path's dominant cost) from 5
@@ -2026,7 +2047,8 @@ def _detect_overlaps_split(reads, config: BellaConfig, budget: float,
     # the resident code stream and chunk working set take the rest)
     group = force_group or int(
         max(1, min(splits,
-                   int(budget * 0.4) // (region_cap * (12 if p3 else 13))))
+                   int(budget * (0.3 if staged_chain else 0.4))
+                   // (region_cap * (12 if p3 else 13))))
     )
     n_groups = (splits + group - 1) // group
     if n_groups > 1:
@@ -2079,6 +2101,7 @@ def _detect_overlaps_split(reads, config: BellaConfig, budget: float,
     lengths_dev = jnp.asarray(reads.lengths.astype(np.int32))
     emit_parts = []   # per-pass emitted candidate streams
     ncands = []       # per-pass live-candidate device scalars
+    compact_parts = []  # staged_chain: per-pass packed reliable slices
     num_kmers = 0
     nnz_total = 0
     overflow = 0
@@ -2202,6 +2225,17 @@ def _detect_overlaps_split(reads, config: BellaConfig, budget: float,
             if n_p == 0:
                 continue
             size_p = min(_size_bucket(max(n_p, 1 << 14)), region_cap)
+            if staged_chain:
+                # keep the PACKED compacted reliable slice resident
+                # (2-3 u32 operands, ~8-12 B/row at ~0.1 rows/position)
+                # and defer ALL emission to the per-h-range passes —
+                # the corpus-wide candidate stream never materialises
+                compact_parts.append((
+                    ahead_call(_take_prefix_n, *comp, size=size_p),
+                    narr_p, n_p, size_p,
+                ))
+                del comp
+                continue
             if wide:
                 csr, csp, csc, crank = ahead_call(
                     _compact_slice_wide, *comp, size=size_p)
@@ -2234,6 +2268,11 @@ def _detect_overlaps_split(reads, config: BellaConfig, budget: float,
     if overflow:
         log("splitRoutingOverflowDropped", overflow)
     del chunks
+    if staged_chain:
+        return _staged_chain_finish(
+            compact_parts, reads, config, budget, wide, lengths_dev,
+            num_kmers, nnz_total,
+        )
     if not emit_parts:
         return CandidatePairs.empty(), num_kmers, nnz_total
 
@@ -2266,6 +2305,134 @@ def _detect_overlaps_split(reads, config: BellaConfig, budget: float,
     return pairs, num_kmers, nnz_total
 
 
+def _staged_chain_finish(compact_parts, reads, config: BellaConfig,
+                         budget: float, wide: bool, lengths_dev,
+                         num_kmers: int, nnz_total: int):
+    """hv-range staged emission + chaining (the reference's column-block
+    staging role, include/overlap.hpp:682-710, re-designed around the
+    sort pipeline): beyond the fused path's candidate-stream gate, the
+    per-pass PACKED reliable slices stay resident (~1 B/position) and
+    pairs are produced one h-range at a time —
+
+      for each read range [lo, hi): every pass re-emits only pairs
+      whose h lands in the range (a pair's candidates all share (h, v),
+      so ranges partition PAIRS exactly), the range's streams compact
+      through the chain sort, and one chain finish yields that range's
+      CandidatePairs; ranges concatenate on host (O(pairs)).
+
+    Exactness: the pair set and every per-pair result are identical to
+    the unstaged path — ranges partition pairs, and chaining is
+    per-pair-independent. Cost: emission and its compaction sort re-run
+    once per range over each pass's lag-sliced stream (~2x total sort
+    volume at 2 ranges); nothing corpus-sized is ever resident."""
+    from bella_tpu.utils.compile_ahead import ahead_call
+
+    if not compact_parts:
+        return CandidatePairs.empty(), num_kmers, nnz_total
+    k = config.kmer_size
+    upper = config.upper_freq
+    u32 = jnp.uint32
+
+    lag_all = [
+        _lag_sizes(narr_p, size_p, upper)
+        for _, narr_p, _, size_p in compact_parts
+    ]
+    est_rows = sum(sum(ls) for ls in lag_all)
+    bytes_per_row = 16 if wide else 12
+    # per-range chain working set: concat + its 2x out-of-place sort
+    chain_budget = max(budget * 0.3, float(1 << 28))
+    n_ranges = max(2, -(-int(est_rows * bytes_per_row * 3) // int(chain_budget)))
+    # read-id range bounds balanced by position mass (pair mass per h
+    # tracks read-h coverage); exact per-range sizing comes from the
+    # emit live counters, so imbalance costs padding, never correctness
+    cum = np.cumsum(reads.lengths.astype(np.int64))
+    bounds = [0] + [
+        int(np.searchsorted(cum, cum[-1] * i // n_ranges))
+        for i in range(1, n_ranges)
+    ] + [reads.num_reads]
+    log("stagedChainRanges",
+        f"{n_ranges} h-ranges x {len(compact_parts)} passes "
+        f"(est {est_rows} emitted rows)")
+
+    out_parts = []
+    for r in range(n_ranges):
+        lo, hi = bounds[r], bounds[r + 1]
+        if lo >= hi:
+            continue
+        hb = jnp.asarray([lo, hi], np.uint32)
+        parts = []
+        live = 0
+        for (ops, narr_p, n_p, size_p), lag_sizes in zip(
+            compact_parts, lag_all
+        ):
+            if wide:
+                sr, sp, sc, rank = ahead_call(
+                    _compact_slice_wide, *ops, size=size_p
+                )
+                h_, v_, k3_, pv_, nl = ahead_call(
+                    _fused_emit_wide, jnp.int32(n_p), sr, sp, sc, rank,
+                    lengths_dev, kmer_size=k, upper=upper,
+                    bin_size=config.bin_size, lag_sizes=tuple(lag_sizes),
+                    h_bounds=hb,
+                )
+                del sr, sp, sc, rank
+                # chain sort doubles as sentinel compaction (sentinel
+                # h/v sort to the tail); slice to the live bucket
+                h_, v_, k3_, pv_ = ahead_call(
+                    _chain_sort_wide, h_, v_, k3_, pv_
+                )
+                nl_i = int(nl)
+                b = min(_size_bucket(max(nl_i, 1 << 10)), h_.shape[0])
+                parts.append(ahead_call(
+                    _take_prefix_n, h_, v_, k3_, pv_, size=b
+                ))
+                del h_, v_, k3_, pv_
+            else:
+                sr, sp, sc, rank = ahead_call(
+                    _compact_slice, *ops, size=size_p
+                )
+                hv_, k3_, pv_, nl = ahead_call(
+                    _fused_emit_packed, jnp.int32(n_p), sr, sp, sc, rank,
+                    lengths_dev, kmer_size=k, upper=upper,
+                    bin_size=config.bin_size, lag_sizes=tuple(lag_sizes),
+                    h_bounds=hb,
+                )
+                del sr, sp, sc, rank
+                hv_, k3_, pv_ = ahead_call(_chain_sort_packed, hv_, k3_, pv_)
+                nl_i = int(nl)
+                b = min(_size_bucket(max(nl_i, 1 << 10)), hv_.shape[0])
+                parts.append(ahead_call(
+                    _take_prefix_n, hv_, k3_, pv_, size=b
+                ))
+                del hv_, k3_, pv_
+            live += nl_i
+        if wide:
+            h = jnp.concatenate([p[0] for p in parts])
+            v = jnp.concatenate([p[1] for p in parts])
+            k3 = jnp.concatenate([p[2] for p in parts])
+            pv = jnp.concatenate([p[3] for p in parts])
+            del parts
+            pr = _chain_wide(
+                h, v, k3, pv, lengths_dev, kmer_size=k,
+                bin_size=config.bin_size, live_rows=live,
+                lengths_np=reads.lengths,
+            )
+            del h, v, k3, pv
+        else:
+            hv = jnp.concatenate([p[0] for p in parts])
+            k3 = jnp.concatenate([p[1] for p in parts])
+            pv = jnp.concatenate([p[2] for p in parts])
+            del parts
+            pr = _chain_packed(
+                hv, k3, pv, lengths_dev, kmer_size=k,
+                bin_size=config.bin_size, live_rows=live,
+                lengths_np=reads.lengths,
+            )
+            del hv, k3, pv
+        out_parts.append(pr)
+    return CandidatePairs.concatenate(out_parts), num_kmers, nnz_total
+
+
 def detect_overlaps(reads, config: BellaConfig, _use_hints: bool = True):
     """Fused (4-dispatch) end-to-end overlap detection for the common
     configuration (plain k-mers or HOPC, single split). Intermediates
@@ -2295,7 +2462,6 @@ def detect_overlaps(reads, config: BellaConfig, _use_hints: bool = True):
         common = (
             max_len <= 0xFFFF and config.bin_size >= 3
             and not config.use_hopc and k <= 28
-            and len(reads.codes) * 10 <= budget
         )
         p16 = reads.num_reads <= 0xFFFF and config.upper_freq <= 255
         wide_ok = (
@@ -2303,8 +2469,19 @@ def detect_overlaps(reads, config: BellaConfig, _use_hints: bool = True):
             and config.upper_freq <= (1 << 15)
         )
         if common and (p16 or wide_ok):
-            return _detect_overlaps_split(reads, config, budget,
-                                          wide=not p16)
+            if len(reads.codes) * 10 <= budget:
+                # concatenated candidate stream + its chain sort fit
+                return _detect_overlaps_split(reads, config, budget,
+                                              wide=not p16)
+            if len(reads.codes) * 4 <= budget:
+                # beyond the stream gate (~1.6 Gbp at 16 GB): hv-range
+                # staged chaining — only the packed reliable slices
+                # (~1 B/position) stay resident, pairs are chained one
+                # read-range at a time (_staged_chain_finish); moves
+                # the full-speed gate to ~4 Gbp at 16 GB
+                return _detect_overlaps_split(reads, config, budget,
+                                              wide=not p16,
+                                              staged_chain=True)
         from bella_tpu.kmers.count import build_reliable_triples
 
         tri = build_reliable_triples(reads, config)

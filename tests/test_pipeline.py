@@ -96,3 +96,42 @@ def test_estimate_error_rate(sim, tmp_path):
     reads2 = reads
     res = run_pipeline(reads2, cfg)
     assert res.num_output > 0
+
+
+def test_repeat_rich_accuracy_floor(tmp_path):
+    """Repeat-rich corpus gate (~25% tandem + dispersed diverged
+    repeats): reads from different repeat copies share k-mers and
+    often genuinely align, so truth-based precision drops for EVERY
+    overlapper — the reference binary scores PR 47.3 on the 1.8 Mbp
+    crossval corpus, ours 47.3 with identical output size
+    (scripts/crossval_repeats.py, BASELINE.md). This CI floor pins
+    that the multi-bin majority vote keeps finding the true overlaps
+    (RC, x2 definition) without exploding the repeat-induced output."""
+    from bella_tpu.eval.evaluate import (
+        evaluate_sets,
+        load_truth,
+        parse_bella,
+        truth_pairs,
+    )
+    from bella_tpu.io.simulate import (
+        random_genome_with_repeats,
+        sample_reads,
+        write_truth,
+    )
+
+    g = random_genome_with_repeats(
+        30_000, seed=83, repeat_frac=0.25, unit_len=1500
+    )
+    reads, truth = sample_reads(
+        g, 300, mean_len=2500, min_len=1000, error_rate=0.15, seed=84,
+        circular=False,
+    )
+    tr = str(tmp_path / "rep.truth")
+    out = str(tmp_path / "rep.out")
+    write_truth(tr, truth)
+    run_pipeline(reads, BellaConfig(), out)
+    m = evaluate_sets(truth_pairs(load_truth(tr), 2000), parse_bella(out))
+    # measured RC=196.4 PR=48.3 (seeds fixed); floors leave slack for
+    # platform-level float jitter only
+    assert m.recall >= 180.0, m
+    assert m.precision >= 42.0, m

@@ -42,3 +42,53 @@ def test_staged_matches_single_stage():
     assert set(ms) == set(mm)
     for k in ms:
         assert ms[k] == mm[k], (k, ms[k], mm[k])
+
+
+def test_hv_range_staged_chain_packed():
+    """hv-range staged chaining (beyond the fused candidate-stream
+    gate): per-pass packed reliable slices stay resident, pairs chain
+    one h-range at a time — the result must EXACTLY match the ordinary
+    fused path (ranges partition pairs; chaining is per-pair)."""
+    from bella_tpu.overlap import pairs as pm
+    from bella_tpu.overlap.pairs import detect_overlaps
+
+    g = random_genome(12000, seed=61)
+    reads, _ = sample_reads(
+        g, 60, mean_len=1200, min_len=500, error_rate=0.12, seed=62,
+        circular=False,
+    )
+    cfg = BellaConfig()
+    ref, nk_ref, nnz_ref = detect_overlaps(reads, cfg)
+    # a small budget yields several splits AND >= 2 ranges
+    budget = len(reads.codes) * 60.0
+    got, nk, nnz = pm._detect_overlaps_split(
+        reads, cfg, budget, wide=False, staged_chain=True
+    )
+    assert (nk, nnz) == (nk_ref, nnz_ref)
+    ms, mg = _as_map(ref), _as_map(got)
+    assert set(ms) == set(mg)
+    for k in ms:
+        assert ms[k] == mg[k], (k, ms[k], mg[k])
+
+
+def test_hv_range_staged_chain_wide():
+    """Same parity on the wide-id layout (the >64k-read shape)."""
+    from bella_tpu.overlap import pairs as pm
+    from bella_tpu.overlap.pairs import detect_overlaps
+
+    g = random_genome(12000, seed=63)
+    reads, _ = sample_reads(
+        g, 60, mean_len=1200, min_len=500, error_rate=0.12, seed=64,
+        circular=False,
+    )
+    cfg = BellaConfig()
+    ref, nk_ref, nnz_ref = detect_overlaps(reads, cfg)
+    budget = len(reads.codes) * 60.0
+    got, nk, nnz = pm._detect_overlaps_split(
+        reads, cfg, budget, wide=True, staged_chain=True
+    )
+    assert (nk, nnz) == (nk_ref, nnz_ref)
+    ms, mg = _as_map(ref), _as_map(got)
+    assert set(ms) == set(mg)
+    for k in ms:
+        assert ms[k] == mg[k], (k, ms[k], mg[k])
