@@ -1013,10 +1013,9 @@ def _fused_emit(
 @partial(jax.jit, static_argnames=("kmer_size", "upper", "bin_size",
                                    "lag_sizes"))
 def _fused_emit_packed(
-    n_rows, sr, sp, sc, rank, read_lengths,
-    kmer_size: int, upper: int, bin_size: int,
+    n_rows, sr, sp, sc, rank, read_lengths, h_bounds=None,
+    *, kmer_size: int, upper: int, bin_size: int,
     lag_sizes: tuple = (),
-    h_bounds=None,
 ):
     """Packed phase 2+3: when read ids and positions fit 16 bits (the
     reference caps positions at 16 bits too, src/main.cpp:193), the whole
@@ -1445,10 +1444,9 @@ def _fused_count_wide(
 @partial(jax.jit, static_argnames=("kmer_size", "upper", "bin_size",
                                    "lag_sizes"))
 def _fused_emit_wide(
-    n_rows, sr, sp, sc, rank, read_lengths,
-    kmer_size: int, upper: int, bin_size: int,
+    n_rows, sr, sp, sc, rank, read_lengths, h_bounds=None,
+    *, kmer_size: int, upper: int, bin_size: int,
     lag_sizes: tuple = (),
-    h_bounds=None,
 ):
     """Wide-id pair emission: candidate rows (h, v, k3, pv) with h and v
     as separate u32 operands (sentinel 0xFFFFFFFF on h and v); k3 packs
@@ -2028,7 +2026,7 @@ def _detect_overlaps_split(reads, config: BellaConfig, budget: float,
     # pass loop — carve them out of the working budget so the per-pass
     # peak still fits (2.2 Gbp OOMed at the unadjusted sizing).
     if staged_chain:
-        budget = max(budget - total * 1.75, budget * 0.4)
+        budget = max(budget - total * 1.0, budget * 0.4)
     splits = max(int(np.ceil(total * 200 / budget)), 2)
     # packed partition: the pass tag rides the key word's free top bits,
     # cutting the partition sort (the split path's dominant cost) from 5
@@ -2045,9 +2043,15 @@ def _detect_overlaps_split(reads, config: BellaConfig, budget: float,
     # passes resident at once: the accumulator (12 B/row packed non-wide,
     # else 13) may take ~40% of the budget (count sorts run per region;
     # the resident code stream and chunk working set take the rest)
+    # staged mode spends a LARGER budget share on the accumulator: the
+    # group count sets how many times the whole corpus re-partitions
+    # (groups ~ total*1.4*13/(share*budget) — the measured wall at
+    # 2.2 Gbp was 13 groups x 2.2 G-row partition sorts = ~200 s of the
+    # 298 s run), and staged compacts are small, so trading transient
+    # slack for fewer re-extractions wins
     group = force_group or int(
         max(1, min(splits,
-                   int(budget * (0.3 if staged_chain else 0.4))
+                   int(budget * (0.45 if staged_chain else 0.4))
                    // (region_cap * (12 if p3 else 13))))
     )
     n_groups = (splits + group - 1) // group
@@ -2371,9 +2375,8 @@ def _staged_chain_finish(compact_parts, reads, config: BellaConfig,
                 )
                 h_, v_, k3_, pv_, nl = ahead_call(
                     _fused_emit_wide, jnp.int32(n_p), sr, sp, sc, rank,
-                    lengths_dev, kmer_size=k, upper=upper,
+                    lengths_dev, hb, kmer_size=k, upper=upper,
                     bin_size=config.bin_size, lag_sizes=tuple(lag_sizes),
-                    h_bounds=hb,
                 )
                 del sr, sp, sc, rank
                 # chain sort doubles as sentinel compaction (sentinel
@@ -2393,9 +2396,8 @@ def _staged_chain_finish(compact_parts, reads, config: BellaConfig,
                 )
                 hv_, k3_, pv_, nl = ahead_call(
                     _fused_emit_packed, jnp.int32(n_p), sr, sp, sc, rank,
-                    lengths_dev, kmer_size=k, upper=upper,
+                    lengths_dev, hb, kmer_size=k, upper=upper,
                     bin_size=config.bin_size, lag_sizes=tuple(lag_sizes),
-                    h_bounds=hb,
                 )
                 del sr, sp, sc, rank
                 hv_, k3_, pv_ = ahead_call(_chain_sort_packed, hv_, k3_, pv_)

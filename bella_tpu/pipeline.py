@@ -86,6 +86,23 @@ def run_pipeline(
         mesh = make_mesh(config.devices)
         log("meshDevices", config.devices)
 
+    total_bases = int(reads.offsets[-1]) if reads.num_reads else 0
+    # birthday-collision regime check: with T k-mer positions in a 4^k
+    # space, ~T^2/(2*4^k) UNRELATED position pairs share a k-mer by
+    # chance; each collision fabricates a count-2 "reliable" k-mer and
+    # junk candidate pairs (measured: 2.2 Gbp at k=17 fabricates ~1.3e8
+    # of them and inflates candidates 20x — the reference's counting
+    # has the identical failure mode, it just documents k=17 for a
+    # 140 Mbp demo). Warn when chance collisions become material.
+    exp_coll = total_bases * float(total_bases) / (2.0 * 4.0 ** config.kmer_size)
+    if exp_coll > 0.02 * max(total_bases, 1):
+        log(
+            "kmerCollisionWarning",
+            f"~{exp_coll:.2e} chance k-mer collisions expected at "
+            f"{total_bases/1e9:.2f} Gbp with k={config.kmer_size}; "
+            "use a larger -k (e.g. 21+) or raise -l",
+        )
+
     if not config.skip_alignment and mesh is None and reads.num_reads:
         # overlap the aligner-kernel compiles (minutes each cold on
         # remote-helper toolchains) with the detection phase; the

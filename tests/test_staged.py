@@ -92,3 +92,34 @@ def test_hv_range_staged_chain_wide():
     assert set(ms) == set(mg)
     for k in ms:
         assert ms[k] == mg[k], (k, ms[k], mg[k])
+
+
+def test_split_grouped_midscale_parity():
+    """Pass-grouped re-extraction at NON-toy shape: a ~6 Mbp corpus with
+    force_group=2 and a budget small enough for multiple chunks AND
+    multiple pass groups — the riskiest code in the split path (chunk
+    re-extraction per group, per-pass emission, accumulator reuse) must
+    reproduce the fused path exactly on both row layouts. (The 50+ Mbp
+    variant runs on hardware: scripts/split_group_probe.py.)"""
+    from bella_tpu.overlap import pairs as pm
+    from bella_tpu.overlap.pairs import detect_overlaps
+
+    g = random_genome(200_000, seed=65)
+    reads, _ = sample_reads(
+        g, 2_000, mean_len=3000, min_len=1000, error_rate=0.12, seed=66,
+        circular=False,
+    )
+    assert int(reads.offsets[-1]) > 5_000_000
+    cfg = BellaConfig()
+    ref, nk_ref, nnz_ref = detect_overlaps(reads, cfg)
+    ms = _as_map(ref)
+    budget = len(reads.codes) * 60.0  # several chunks + splits
+    for wide in (False, True):
+        got, nk, nnz = pm._detect_overlaps_split(
+            reads, cfg, budget, wide=wide, force_group=2
+        )
+        assert (nk, nnz) == (nk_ref, nnz_ref), (wide, nk, nnz)
+        mg = _as_map(got)
+        assert set(ms) == set(mg), wide
+        for k in ms:
+            assert ms[k] == mg[k], (wide, k, ms[k], mg[k])
