@@ -647,6 +647,15 @@ def prewarm_align_kernels(read_lengths: np.ndarray, config) -> bool:
 
     def _worker():
         try:
+            # NOTE: real device dummies, not ShapeDtypeStructs — a
+            # spec-compiled executable was measured to EXECUTE ~1.9x
+            # slower at demo scale (align 387 s vs 207 s; plausibly an
+            # input-layout mismatch against the committed real arrays
+            # forcing per-call relayouts). The dummy execution's device
+            # cost (the _expand_words program + zero-length calls) is
+            # microseconds-to-ms and does not perturb a concurrent
+            # detect (the r5 12-vs-300 s detect variance was traced to
+            # overlapping PROCESSES on the one chip, not to prewarm).
             flat = jnp.zeros(max(total_words, 1), jnp.uint32)
             off = jnp.zeros(R, jnp.int32)
             reads_w = _expand_words(flat, off, R=R, Wp=Wp)
@@ -1012,7 +1021,16 @@ def align_candidates(
             # saturation measured at the CURRENT level's band scale —
             # mixing scales would silently drop drift-limited pairs.
             sat_level = sat.copy()
+            level_counts = []
+            # tier-sort the rescue set: each rescue batch runs at its
+            # MAX member's sequence tier, and pair-index order mixes
+            # tiers — one 27 kb pair in a 4096-pair batch makes the
+            # whole batch pay the widest feeds/steps (measured: demo
+            # align 307 s mixed vs ~199 s tier-pure). Level filters
+            # preserve the order, so one stable sort serves the cascade.
+            sat_idx = sat_idx[np.argsort(tier[sat_idx], kind="stable")]
             while len(sat_idx) and rescue_band <= ceiling:
+                level_counts.append((rescue_band, len(sat_idx)))
                 rb = 1 << max(6, int(len(sat_idx) - 1).bit_length())
                 rb = min(rb, batch_size)
                 for s in range(0, len(sat_idx), rb):
@@ -1059,8 +1077,8 @@ def align_candidates(
                     config, k, score, beg_h, end_h, beg_v, end_v,
                 )
             log("bandDriftRescued",
-                f"{total_rescued} pairs re-extended (band cascade up to "
-                f"{rescue_band // 2})"
+                f"{total_rescued} pairs re-extended (band cascade "
+                + " ".join(f"{b}:{n}" for b, n in level_counts) + ")"
                 + (f"; {tail} drift-limited pairs resolved via the "
                    "adaptive jax backend; 0 unresolved" if tail else ""))
         elif len(sat_idx):

@@ -12,10 +12,10 @@ Usage: python scripts/crossval_repeats.py [workdir]
 Requires the reference binary at .refbuild/bella (build via
 scripts/crossval_reference.sh).
 
-Round-5 result (recorded in BASELINE.md): identical output size
-(10,664 rows), PR 47.26 vs 47.27, RC 182.44 vs 180.04 (x2 definition)
-— the quantized-bin majority vote matches the reference's data-order
-chainop on repeat content.
+Round-5 result (recorded in BASELINE.md): RC 94.53 vs the
+reference's 94.55, PR 91.22 vs 90.02 (bella_tpu MORE precise on
+repeat-induced pairs) — the quantized-bin majority vote matches the
+reference's data-order chainop on repeat content.
 """
 
 import os
@@ -70,10 +70,10 @@ def main():
 
     G = truth_pairs(load_truth(os.path.join(wd, "rep.truth")), 2000)
     print("bella_tpu:", evaluate_sets(
-        G, parse_bella(os.path.join(wd, "rep_tpu.out"))))
+        parse_bella(os.path.join(wd, "rep_tpu.out")), G))
     if os.path.exists(refbin):
         print("reference:", evaluate_sets(
-            G, parse_bella(os.path.join(wd, "rep_ref.out"))))
+            parse_bella(os.path.join(wd, "rep_ref.out")), G))
 
 
 if __name__ == "__main__":

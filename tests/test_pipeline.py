@@ -102,11 +102,11 @@ def test_repeat_rich_accuracy_floor(tmp_path):
     """Repeat-rich corpus gate (~25% tandem + dispersed diverged
     repeats): reads from different repeat copies share k-mers and
     often genuinely align, so truth-based precision drops for EVERY
-    overlapper — the reference binary scores PR 47.3 on the 1.8 Mbp
-    crossval corpus, ours 47.3 with identical output size
+    overlapper — on the 1.8 Mbp crossval corpus the reference scores
+    RC 94.55 / PR 90.02 and ours RC 94.53 / PR 91.22
     (scripts/crossval_repeats.py, BASELINE.md). This CI floor pins
-    that the multi-bin majority vote keeps finding the true overlaps
-    (RC, x2 definition) without exploding the repeat-induced output."""
+    that the multi-bin majority vote keeps finding true overlaps
+    without exploding the repeat-induced output."""
     from bella_tpu.eval.evaluate import (
         evaluate_sets,
         load_truth,
@@ -130,8 +130,8 @@ def test_repeat_rich_accuracy_floor(tmp_path):
     out = str(tmp_path / "rep.out")
     write_truth(tr, truth)
     run_pipeline(reads, BellaConfig(), out)
-    m = evaluate_sets(truth_pairs(load_truth(tr), 2000), parse_bella(out))
-    # measured RC=196.4 PR=48.3 (seeds fixed); floors leave slack for
-    # platform-level float jitter only
-    assert m.recall >= 180.0, m
-    assert m.precision >= 42.0, m
+    m = evaluate_sets(parse_bella(out), truth_pairs(load_truth(tr), 2000))
+    # measured RC=97.0-ish PR=90-ish (seeds fixed); floors leave slack
+    # for platform-level float jitter only
+    assert m.recall >= 88.0, m
+    assert m.precision >= 82.0, m
