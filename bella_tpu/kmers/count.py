@@ -246,17 +246,82 @@ def _multiplicity_stats_dev(khi, klo):
     ])
 
 
-def multiplicity_stats(reads: ReadSet, config: BellaConfig):
+@partial(jax.jit, static_argnames=("mod",))
+def _hash_slice_compact(khi, klo, mod: int):
+    """Keep k-mers whose hash lands in slice 0 of `mod` (a 1/mod sample
+    of k-mer SPACE — every kept k-mer keeps its FULL multiplicity, so
+    per-k-mer statistics of the slice are unbiased, unlike read
+    subsampling which scales depth down). Kept rows compact to a
+    prefix via the standard dead-bit single-key sort."""
+    kk = (khi.astype(_U64) << _U64(32)) | klo.astype(_U64)
+    keep = (hash64(kk) % _U64(mod)) == _U64(0)
+    keep &= kk != jnp.asarray(SENTINEL)
+    n = khi.shape[0]
+    key = (
+        ((~keep).astype(jnp.uint32) << jnp.uint32(31))
+        | jax.lax.iota(jnp.uint32, n)
+    )
+    _, khi2, klo2 = jax.lax.sort((key, khi, klo), num_keys=1)
+    return khi2, klo2, jnp.sum(keep.astype(jnp.int32))
+
+
+def multiplicity_stats(reads: ReadSet, config: BellaConfig,
+                       max_rows: int = 32 << 20):
     """(distinct, mass, distinct_ge2, mass_ge2) over the corpus's
     canonical k-mers — the exact global statistics the reference can
     only approximate with its HyperLogLog sketch
     (kmercode/hyperloglog.hpp:49-108, used include/kmercount.hpp:269,483
     to size the Bloom filter): sort-based exact counting makes the true
-    numbers one sort away, so all sketch-driven sizing here is exact."""
-    occ = extract_occurrences(reads, config)
-    if occ.size == 0:
+    numbers one sort away, so all sketch-driven sizing here is exact.
+
+    Corpora whose occurrence stream exceeds `max_rows` are measured on
+    a hash-slice of k-mer space instead (chunked extraction; kept
+    k-mers carry their full multiplicities, so ratios like the
+    truncated mean are unbiased); returned counters are scaled back by
+    the slice factor. Memory stays O(max_rows) at any corpus size."""
+    total = len(reads.codes)
+    if total <= max_rows:
+        occ = extract_occurrences(reads, config)
+        if occ.size == 0:
+            return 0, 0, 0, 0
+        khi = (occ.kmers >> _U64(32)).astype(jnp.uint32)
+        klo = occ.kmers.astype(jnp.uint32)
+        s = np.asarray(_multiplicity_stats_dev(khi, klo))
+        return int(s[0]), int(s[1]), int(s[2]), int(s[3])
+
+    mod = -(-total // (max_rows // 2))
+    offsets = reads.offsets.astype(np.int64)
+    R = reads.num_reads
+    kept_hi, kept_lo = [], []
+    lo = 0
+    while lo < R:
+        hi = lo + 1
+        while hi < R and offsets[hi + 1] - offsets[lo] <= max_rows // 2:
+            hi += 1
+        sub = ReadSet(
+            [""] * (hi - lo),
+            reads.codes[int(offsets[lo]):int(offsets[hi])],
+            (offsets[lo:hi + 1] - offsets[lo]),
+        )
+        occ = extract_occurrences(sub, config)
+        if occ.size:
+            khi = (occ.kmers >> _U64(32)).astype(jnp.uint32)
+            klo = occ.kmers.astype(jnp.uint32)
+            khi2, klo2, n = _hash_slice_compact(khi, klo, mod)
+            n_i = int(n)
+            if n_i:
+                # bucketed device slice (stable compile shapes), host trim
+                b = min(1 << max(12, (n_i - 1).bit_length()), khi2.shape[0])
+                kept_hi.append(np.asarray(khi2[:b])[:n_i])
+                kept_lo.append(np.asarray(klo2[:b])[:n_i])
+        lo = hi
+    if not kept_hi:
         return 0, 0, 0, 0
-    khi = (occ.kmers >> _U64(32)).astype(jnp.uint32)
-    klo = occ.kmers.astype(jnp.uint32)
-    s = np.asarray(_multiplicity_stats_dev(khi, klo))
-    return int(s[0]), int(s[1]), int(s[2]), int(s[3])
+    s = np.asarray(_multiplicity_stats_dev(
+        jnp.asarray(np.concatenate(kept_hi)),
+        jnp.asarray(np.concatenate(kept_lo)),
+    ))
+    return (
+        int(s[0]) * mod, int(s[1]) * mod,
+        int(s[2]) * mod, int(s[3]) * mod,
+    )

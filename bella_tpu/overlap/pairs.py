@@ -2364,8 +2364,25 @@ def _staged_chain_finish(compact_parts, reads, config: BellaConfig,
         if lo >= hi:
             continue
         hb = jnp.asarray([lo, hi], np.uint32)
+        # pipelined dispatch: emit + chain-sort of the next passes are
+        # dispatched (async) before the previous ones' live-count
+        # readbacks block, so the ~27 ms relay round trips overlap
+        # in-flight sorts instead of serializing every pass. The window
+        # is BOUNDED (4) because a pass's full-size emit buffer stays
+        # alive until its slice — unbounded dispatch would re-materialize
+        # the corpus-wide stream this path exists to avoid.
         parts = []
         live = 0
+        pending = []
+
+        def _drain_one():
+            nonlocal live
+            arrs, nl = pending.pop(0)
+            nl_i = int(nl)
+            b = min(_size_bucket(max(nl_i, 1 << 10)), arrs[0].shape[0])
+            parts.append(ahead_call(_take_prefix_n, *arrs, size=b))
+            live += nl_i
+
         for (ops, narr_p, n_p, size_p), lag_sizes in zip(
             compact_parts, lag_all
         ):
@@ -2381,14 +2398,9 @@ def _staged_chain_finish(compact_parts, reads, config: BellaConfig,
                 del sr, sp, sc, rank
                 # chain sort doubles as sentinel compaction (sentinel
                 # h/v sort to the tail); slice to the live bucket
-                h_, v_, k3_, pv_ = ahead_call(
-                    _chain_sort_wide, h_, v_, k3_, pv_
+                pending.append(
+                    (ahead_call(_chain_sort_wide, h_, v_, k3_, pv_), nl)
                 )
-                nl_i = int(nl)
-                b = min(_size_bucket(max(nl_i, 1 << 10)), h_.shape[0])
-                parts.append(ahead_call(
-                    _take_prefix_n, h_, v_, k3_, pv_, size=b
-                ))
                 del h_, v_, k3_, pv_
             else:
                 sr, sp, sc, rank = ahead_call(
@@ -2400,14 +2412,14 @@ def _staged_chain_finish(compact_parts, reads, config: BellaConfig,
                     bin_size=config.bin_size, lag_sizes=tuple(lag_sizes),
                 )
                 del sr, sp, sc, rank
-                hv_, k3_, pv_ = ahead_call(_chain_sort_packed, hv_, k3_, pv_)
-                nl_i = int(nl)
-                b = min(_size_bucket(max(nl_i, 1 << 10)), hv_.shape[0])
-                parts.append(ahead_call(
-                    _take_prefix_n, hv_, k3_, pv_, size=b
+                pending.append((
+                    ahead_call(_chain_sort_packed, hv_, k3_, pv_), nl
                 ))
                 del hv_, k3_, pv_
-            live += nl_i
+            if len(pending) >= 4:
+                _drain_one()
+        while pending:
+            _drain_one()
         if wide:
             h = jnp.concatenate([p[0] for p in parts])
             v = jnp.concatenate([p[1] for p in parts])

@@ -464,15 +464,24 @@ def init_distributed() -> None:
     kwargs = {}
     nproc = os.environ.get("JAX_NUM_PROCESSES")
     pid = os.environ.get("JAX_PROCESS_ID")
-    if nproc is not None and pid is not None:
+    if (nproc is None) != (pid is None):
+        raise RuntimeError(
+            "manual-cluster init needs BOTH JAX_NUM_PROCESSES and "
+            "JAX_PROCESS_ID (got only one); unset both for "
+            "auto-detected clusters"
+        )
+    if nproc is not None:
         kwargs = dict(
             coordinator_address=coord,
             num_processes=int(nproc),
             process_id=int(pid),
         )
     try:
-        if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
-            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        # cross-process CPU collectives need gloo, and the flag must be
+        # set BEFORE the backend initializes; it only affects the CPU
+        # client, so setting it unconditionally is harmless on TPU
+        # (case/variant-insensitive to however JAX_PLATFORMS is spelled)
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
     except Exception:
         pass
     try:

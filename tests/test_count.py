@@ -136,3 +136,45 @@ def test_estimate_coverage():
         error_rate=0.15, seed=12, circular=False,
     )
     assert estimate_coverage(solo, BellaConfig()) == 0
+
+
+def test_multiplicity_stats_sampled_matches_exact_ratio():
+    """The hash-slice sampled path (big-corpus estimator) must agree
+    with the exact path on the multiplicity RATIO that drives coverage
+    estimation (slices keep full per-k-mer counts, so truncated means
+    are unbiased)."""
+    from bella_tpu.io.simulate import random_genome, sample_reads
+    from bella_tpu.kmers.bound import estimate_coverage
+    from bella_tpu.kmers.count import multiplicity_stats
+
+    g = random_genome(30000, seed=9)
+    reads, _ = sample_reads(
+        g, 30 * 30000 // 2500, mean_len=2500, min_len=1200,
+        error_rate=0.15, seed=10, circular=False,
+    )
+    cfg = BellaConfig()
+    d, m, d2, m2 = multiplicity_stats(reads, cfg)
+    # force the sampled path with a tiny max_rows (several chunks + a
+    # real slice factor)
+    ds, ms, d2s, m2s = multiplicity_stats(reads, cfg, max_rows=120_000)
+    assert d2s > 0
+    exact_ratio = m2 / d2
+    sampled_ratio = m2s / d2s
+    assert abs(sampled_ratio - exact_ratio) / exact_ratio < 0.05
+    # scaled totals in the right ballpark (slice-sampling noise only)
+    assert 0.5 < ds / d < 2.0
+
+    # estimate_coverage through the sampled path stays accurate
+    true_cov = float(reads.offsets[-1]) / 30000
+    import bella_tpu.kmers.bound as bound_mod
+    import bella_tpu.kmers.count as count_mod
+
+    orig = count_mod.multiplicity_stats
+    try:
+        count_mod.multiplicity_stats = (
+            lambda r, c: orig(r, c, max_rows=120_000)
+        )
+        est = estimate_coverage(reads, cfg)
+    finally:
+        count_mod.multiplicity_stats = orig
+    assert abs(est - true_cov) / true_cov < 0.3, (est, true_cov)
