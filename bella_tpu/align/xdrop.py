@@ -1029,12 +1029,62 @@ def align_candidates(
             # align 307 s mixed vs ~199 s tier-pure). Level filters
             # preserve the order, so one stable sort serves the cascade.
             sat_idx = sat_idx[np.argsort(tier[sat_idx], kind="stable")]
+            # Drift predictor (_predict_due): early-truncated pairs
+            # (x-drop killed the extension at the corridor edge well
+            # short of the overlapop estimate) extrapolate their
+            # measured drift RATE over the full overlap and route
+            # straight to the covering band, skipping levels they
+            # would saturate anyway. Measured caveat (r5, bench-shape
+            # instrumented dump, BELLA_RESCUE_DUMP): at 15% error the
+            # typical saturated extension EDGE-RIDES the corridor to
+            # ~full overlap extent with drift pinned near the corridor
+            # max, so its sat value is censored — and censored initial
+            # sat is only weakly correlated with the terminal band
+            # (mean 82 for term=256 vs ~94 for term>=512, p75 of the
+            # former = p50 of the latter), so threshold routing is a
+            # wash and censored pairs keep the informative doubling
+            # walk. The predictor therefore fires only where the
+            # extrapolation is sound (low-error or structurally
+            # drifting corpora). Scores remain max-of-visited-bands;
+            # band non-monotonicity means visited-set changes can
+            # shift scores within the xdrop envelope, the same
+            # contract as the cascade itself.
+            due = np.full(len(sat_idx), rescue_band, np.int64)
+            if getattr(config, "rescue_predict", True) and len(sat_idx):
+                e_obs = np.maximum(
+                    np.maximum(end_h[sat_idx] - beg_h[sat_idx],
+                               end_v[sat_idx] - beg_v[sat_idx]),
+                    1,
+                ).astype(np.float64)
+                e_pred = np.maximum(
+                    pairs.overlap_est[sat_idx].astype(np.float64), e_obs
+                ) if pairs.overlap_est.size else e_obs
+                due = _predict_due(
+                    sat[sat_idx], e_obs, e_pred, rescue_band, ceiling
+                )
+                if _os.environ.get("BELLA_RESCUE_DEBUG"):
+                    log("rescuePredictDebug",
+                        f"sat={sat[sat_idx][:8].tolist()} "
+                        f"e_obs={e_obs[:8].tolist()} "
+                        f"e_pred={e_pred[:8].tolist()} "
+                        f"due={due[:8].tolist()}")
+            dump = _os.environ.get("BELLA_RESCUE_DUMP")
+            if dump:  # offline predictor analysis (scripts/rescue_*_probe)
+                _dump0 = (sat_idx.copy(), sat[sat_idx].copy())
+                _term = np.zeros(len(sat), np.int64)
             while len(sat_idx) and rescue_band <= ceiling:
-                level_counts.append((rescue_band, len(sat_idx)))
-                rb = 1 << max(6, int(len(sat_idx) - 1).bit_length())
+                at_level = due <= rescue_band
+                cur = sat_idx[at_level]
+                if not len(cur):
+                    rescue_band *= 2
+                    continue
+                level_counts.append((rescue_band, len(cur)))
+                if dump:
+                    _term[cur] = rescue_band
+                rb = 1 << max(6, int(len(cur) - 1).bit_length())
                 rb = min(rb, batch_size)
-                for s in range(0, len(sat_idx), rb):
-                    sel = sat_idx[s : s + rb]
+                for s in range(0, len(cur), rb):
+                    sel = cur[s : s + rb]
                     nv = len(sel)
                     selp = (np.concatenate([sel, np.zeros(rb - nv, sel.dtype)])
                             if nv < rb else sel)
@@ -1064,8 +1114,21 @@ def align_candidates(
                     beg_v[sel] = arr[3, keep]
                     end_v[sel] = arr[4, keep]
                     sat[sel] = arr[5, keep]
-                sat_idx = sat_idx[sat_level[sat_idx] >= rescue_band // 2 - 2]
+                # pairs extended at THIS level and still saturated walk
+                # to the next level; predicted-later pairs stay pending
+                # untouched (their sat_level is from a narrower band and
+                # must not meet this level's threshold)
+                still = at_level & (sat_level[sat_idx] >= rescue_band // 2 - 2)
+                keep = still | ~at_level
+                due = np.where(still, rescue_band * 2, due)[keep]
+                sat_idx = sat_idx[keep]
                 rescue_band *= 2
+            if dump:
+                _term[sat_idx] = -1  # residue -> adaptive tail
+                np.savez(dump, idx=_dump0[0], sat0=_dump0[1],
+                         term=_term[_dump0[0]],
+                         ov=pairs.overlap_est[_dump0[0]],
+                         score_final=score[_dump0[0]])
             still = len(sat_idx)
             tail = 0
             if still:
@@ -1088,6 +1151,38 @@ def align_candidates(
                 "backend for these")
 
     return AlignmentResult(score, beg_h, end_h, beg_v, end_v, pairs.seed_rc.copy())
+
+
+def _predict_due(sat_vals, e_obs, e_pred, base, ceiling):
+    """Terminal-band prediction for the rescue cascade (vectorized).
+
+    A saturated first extension carries one of two signals:
+
+    * EARLY-TRUNCATED (e_obs substantially short of the overlapop
+      estimate): the x-drop killed the extension where the optimal path
+      left the corridor, so ``sat / e_obs`` is a genuine drift RATE and
+      the terminal drift of the full overlap extrapolates linearly
+      (r4 measurement: drift scales with extension). Route the pair
+      straight to the smallest ladder band 2W * 2^j whose half-width
+      exceeds the prediction — skipping levels it would saturate.
+    * CENSORED (the extension edge-rode the corridor to ~full overlap
+      extent): the measured drift is pinned near the corridor max and
+      says nothing about the true terminal drift, so the pair keeps the
+      informative doubling walk (due = base).
+
+    Returns an int64 array of ladder bands in [base, top-ladder-level];
+    mispredicting low degenerates to the walk, high costs one wider
+    pass (scores stay max-of-visited-bands either way)."""
+    sat_f = np.asarray(sat_vals, np.float64)
+    censored = e_obs >= 0.75 * e_pred
+    d_pred = np.where(censored, sat_f, sat_f * (e_pred / e_obs))
+    # smallest ladder band B = base * 2^j with B/2 - 2 > d_pred
+    mult = np.maximum((2.0 * d_pred + 6.0) / base, 1.0)
+    due = base * (1 << np.ceil(np.log2(mult)).astype(np.int64))
+    # clamp to the TOP LADDER level (= ceiling for the pow2 defaults),
+    # so clamped pairs still match a visited band
+    top = base << max(0, int(np.floor(np.log2(ceiling / base))))
+    return np.minimum(due, top)
 
 
 def _adaptive_tail_rescue(pairs, sat_idx, reads, reads_padded,

@@ -65,6 +65,15 @@ class BellaConfig:
                                    # arbitrary indel drift, matching the
                                    # reference's unbounded adaptive band,
                                    # xavier/simdutils.h:263-289)
+    rescue_predict: bool = True    # drift predictor: route each saturated
+                                   # pair straight to its predicted terminal
+                                   # rescue band (drift-rate extrapolation
+                                   # from the truncated first extension x the
+                                   # overlapop estimate) instead of walking
+                                   # every cascade level; mispredicting low
+                                   # falls back to the doubling walk,
+                                   # mispredicting high costs one wider pass
+                                   # (score still max-of-visited-bands)
     rescue_ceiling: int = 2048     # widest static rescue band (>= 2x
                                    # pallas_band is always tried).
                                    # Measured on the bench corpus: 2048

@@ -377,8 +377,19 @@ def _band_rescue_body():
     cfg_on = BellaConfig(aligner_backend="pallas", band_rescue=True)
     on = align_candidates(padded, lens, pairs, cfg_on)
     # band 512 covers the +-256-lane corridor: the rescue reaches the
-    # same optimum (termination granularity may differ by < xdrop)
+    # same optimum (termination granularity may differ by < xdrop).
+    # With the default drift predictor this pair routes STRAIGHT to its
+    # predicted terminal band (skipping 256/512).
     assert int(on.score[0]) >= score_adaptive - int(cfg_on.xdrop)
+
+    # predictor off: the doubling walk (256 -> 512 -> ...) must land on
+    # the same optimum — the two policies may visit different band sets
+    # but both end at a non-saturated extension
+    cfg_walk = BellaConfig(
+        aligner_backend="pallas", band_rescue=True, rescue_predict=False,
+    )
+    wk = align_candidates(padded, lens, pairs, cfg_walk)
+    assert int(wk.score[0]) >= score_adaptive - int(cfg_walk.xdrop)
 
     # exactness tail: cap the static cascade BELOW the drift (ceiling
     # 256 cannot hold the ~400-lane corridor) — the adaptive-backend
@@ -388,6 +399,33 @@ def _band_rescue_body():
     )
     tl = align_candidates(padded, lens, pairs, cfg_tail)
     assert int(tl.score[0]) >= score_adaptive - int(cfg_tail.xdrop)
+
+
+def test_rescue_drift_predictor_routing():
+    """_predict_due routing math: early-truncated pairs extrapolate
+    sat/e_obs linearly to the overlap estimate and skip straight to the
+    covering ladder band; censored edge-riders (extension reached ~full
+    overlap extent, drift pinned at the corridor max) keep the doubling
+    walk; predictions clamp to the top ladder level."""
+    from bella_tpu.align.xdrop import _predict_due
+
+    sat = np.array([62, 84, 62, 62, 10], np.int32)
+    e_obs = np.array([300.0, 1600.0, 300.0, 60.0, 500.0])
+    e_pred = np.array([1600.0, 1646.0, 320.0, 20000.0, 520.0])
+    due = _predict_due(sat, e_obs, e_pred, 256, 2048)
+    # pair 0: rate 62/300 over 1600 -> drift ~331 -> band 1024
+    assert due[0] == 1024
+    # pair 1: censored (e_obs ~ e_pred): walk from the base level
+    assert due[1] == 256
+    # pair 2: censored by ratio too
+    assert due[2] == 256
+    # pair 3: huge extrapolation clamps to the top ladder level
+    assert due[3] == 2048
+    # pair 4: tiny drift rate -> base level
+    assert due[4] == 256
+    # non-pow2 ceiling: top ladder level below it
+    due2 = _predict_due(sat[3:4], e_obs[3:4], e_pred[3:4], 256, 1500)
+    assert due2[0] == 1024
 
 
 def test_mesh_sharded_pallas_align_parity():
